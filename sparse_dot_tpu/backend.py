@@ -1,0 +1,137 @@
+"""Backend capability probing and service introspection.
+
+The reference's init layer locates ``libmkl_rt`` and probes the usable
+integer width at import (``_mkl_interface/_load_library.py:31-96``,
+``__init__.py:62-125``).  The TPU-native analog probes the XLA backend:
+which platform is active, whether it supports complex dtypes natively
+(TPU backends do not — complex compute is decomposed into planar
+real/imaginary parts by the op layer), and basic device topology.
+
+Also hosts the service-function analogs of MKL's
+``MKL_Get_Version(_String)`` / ``MKL_Get_Max_Threads`` /
+``MKL_Set_Num_Threads`` family (``_mkl_interface/_cfunctions.py:729-771``).
+"""
+
+import functools
+import os
+
+import numpy as np
+
+from .config import __version__
+
+# x64 must be enabled so float64/complex128 semantics match the reference
+# (scipy/NumPy default to float64).  This must happen before the first JAX
+# array is created.
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+@functools.lru_cache(maxsize=None)
+def default_platform():
+    return jax.default_backend()
+
+
+@functools.lru_cache(maxsize=None)
+def supports_native_complex(platform=None):
+    """True if the active XLA backend compiles complex dtypes.
+
+    CPU/GPU do; TPU backends generally do not, in which case complex ops
+    run as four real products (planar decomposition) in the op layer.
+    """
+    platform = platform or default_platform()
+    if platform == "cpu":
+        return True
+    # Probe once with a tiny program instead of hard-coding platform names
+    # (the tunnel backend reports an experimental platform name).
+    try:
+        x = jnp.ones((2, 2), dtype=np.complex64)
+        jax.block_until_ready(x * x)
+        return True
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def supports_float64(platform=None):
+    try:
+        x = jnp.ones((2, 2), dtype=np.float64)
+        jax.block_until_ready(x @ x)
+        return True
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Service functions (MKL service-family analogs)
+# ---------------------------------------------------------------------------
+
+
+def get_version():
+    """Return a dict describing the backend, analogous to ``MKLVersion``
+    (``_mkl_interface/_structs.py:66-76``)."""
+    return {
+        "framework_version": __version__,
+        "jax_version": jax.__version__,
+        "platform": default_platform(),
+        "device_kind": jax.devices()[0].device_kind if jax.devices() else "none",
+        "num_devices": jax.device_count(),
+    }
+
+
+def get_version_string():
+    """Analog of ``mkl_get_version_string``
+    (``_mkl_interface/_cfunctions.py:753-768``)."""
+    v = get_version()
+    return (
+        f"sparse_dot_tpu {v['framework_version']} on JAX {v['jax_version']} "
+        f"[{v['platform']}: {v['device_kind']} x{v['num_devices']}]"
+    )
+
+
+_num_threads_hint = [None]
+
+
+def get_max_threads():
+    """Analog of ``mkl_get_max_threads`` (``_cfunctions.py:738``): the
+    parallel width of the backend.  Returns the explicit hint if one was
+    set (so set/get round-trip like MKL's); otherwise the local device
+    count on accelerators or the host CPU count on CPU."""
+    if _num_threads_hint[0] is not None:
+        return _num_threads_hint[0]
+    platform = default_platform()
+    if platform == "cpu":
+        return os.cpu_count() or 1
+    return jax.local_device_count()
+
+
+def get_device_count():
+    return jax.device_count()
+
+
+def set_num_threads(n):
+    """Accepted for API compatibility with ``mkl_set_num_threads``
+    (``_cfunctions.py:742-747``).  XLA owns its own scheduling, so this
+    records a hint rather than reconfiguring a thread pool."""
+    if n < 1:
+        raise ValueError("Number of threads must be a positive integer")
+    _num_threads_hint[0] = int(n)
+
+
+def set_num_threads_local(n):
+    """Analog of ``mkl_set_num_threads_local`` (``_cfunctions.py:745``):
+    returns the previous setting; 0 resets to the global default."""
+    previous = _num_threads_hint[0] or 0
+    if n == 0:
+        _num_threads_hint[0] = None
+        return previous
+    set_num_threads(n)
+    return previous
+
+
+def free_buffers():
+    """Analog of ``mkl_free_buffers`` (``_cfunctions.py:747``): release
+    cached backend memory where possible."""
+    jax.clear_caches()

@@ -1,0 +1,96 @@
+"""Global configuration for the TPU-native sparse framework.
+
+This module plays the role the reference's import-time interface selection
+plays (``/root/reference/sparse_dot_mkl/_mkl_interface/__init__.py:108-163``):
+it decides the index integer width ("LP64" int32 vs "ILP64" int64 analog),
+holds the debug flag (``_common.py:97-105``), and exposes env-var driven
+knobs.  Unlike the reference there is no shared library to locate — the
+"backend" is JAX/XLA and is imported lazily.
+
+Environment variables
+---------------------
+SPARSE_DOT_INTERFACE : "LP64" (default, int32 indices) or "ILP64" (int64).
+    Analog of the reference's ``MKL_INTERFACE_LAYER``.
+SPARSE_DOT_DEBUG : truthy to enable debug printing at import.
+"""
+
+import os
+
+import numpy as np
+
+__version__ = "0.1.0"
+
+# ---------------------------------------------------------------------------
+# Index width policy (the LP64 / ILP64 analog)
+# ---------------------------------------------------------------------------
+
+_VALID_INTERFACES = ("LP64", "ILP64")
+
+
+def _interface_from_env():
+    val = os.environ.get("SPARSE_DOT_INTERFACE", "LP64").upper()
+    if val not in _VALID_INTERFACES:
+        raise ValueError(
+            f"SPARSE_DOT_INTERFACE must be one of {_VALID_INTERFACES}; "
+            f"got {val!r}"
+        )
+    return val
+
+
+class _Config:
+    """Singleton-ish config state."""
+
+    def __init__(self):
+        self.interface = _interface_from_env()
+        self.debug = bool(os.environ.get("SPARSE_DOT_DEBUG", ""))
+        # When True, complex inputs are decomposed into planar real/imag
+        # compute even on backends with native complex support (test hook).
+        self.force_planar_complex = False
+        # Density threshold above which sparse x dense multiplies densify the
+        # sparse operand and run on the MXU instead of gather/scatter.
+        self.densify_threshold = 0.05
+        # Max number of gathered elements materialized at once by the
+        # chunked scatter-add SpMM path (controls memory high-water mark).
+        self.spmm_chunk_elements = 1 << 24
+
+    @property
+    def index_dtype(self):
+        """NumPy dtype used for sparse index arrays (int32 or int64)."""
+        return np.int64 if self.interface == "ILP64" else np.int32
+
+    def set_interface(self, interface):
+        interface = interface.upper()
+        if interface not in _VALID_INTERFACES:
+            raise ValueError(
+                f"interface must be one of {_VALID_INTERFACES}; "
+                f"got {interface!r}"
+            )
+        self.interface = interface
+
+
+config = _Config()
+
+
+def interface_integer_dtype():
+    """Return the active index integer dtype (int32 for LP64, int64 for
+    ILP64).  Analog of the reference's
+    ``mkl_interface_integer_dtype`` (``_mkl_interface/__init__.py:58``)."""
+    return config.index_dtype
+
+
+def set_interface_layer(interface):
+    """Select LP64 (int32) or ILP64 (int64) index width.
+
+    Analog of ``MKL_Set_Interface_Layer``
+    (``_mkl_interface/_cfunctions.py:774-782``).  Unlike MKL this can be
+    changed at any time; device containers remember the width they were
+    built with.
+    """
+    config.set_interface(interface)
+    return config.interface
+
+
+ILP64_HINT = (
+    "Try changing the index interface to int64 with the environment "
+    "variable SPARSE_DOT_INTERFACE=ILP64"
+)

@@ -1,0 +1,462 @@
+"""Device-resident sparse matrix containers (CSR / CSC / BSR).
+
+The reference wraps scipy buffers in opaque MKL handles
+(``/root/reference/sparse_dot_mkl/_mkl_interface/_common.py:245-384``) and
+exports them back by copying C pointers (``:387-609``).  Under JAX there is
+no handle lifecycle: a sparse matrix is an immutable pytree of device
+arrays (``data``, ``indices``, ``indptr``) plus static shape metadata, and
+"export" is just reading the arrays back.  These containers are therefore
+both the handle-layer analog *and* first-class inputs to every op — they
+can be passed through ``jit``, ``shard_map``, ``vmap`` etc.
+
+Complex support: TPU backends have no native complex dtypes, so on such
+backends complex matrices are stored *planar* — ``data`` has a leading
+axis of length 2 holding (real, imag) — and the op layer computes complex
+products as four real products sharing one sparsity pattern.  On CPU/GPU
+complex data is stored natively.
+
+Validation semantics mirror the reference's ``_create_mkl_sparse``:
+only float32/float64/complex64/complex128 data (``_common.py:245-293``),
+COO rejected (``:238-242``), BSR blocks must be square and divide the
+matrix dims (``:341-356``), and index widths follow the LP64/ILP64 policy
+with an overflow error carrying the ILP64 hint (``:166-178``).
+"""
+
+import numpy as np
+import scipy.sparse as _sps
+
+import jax
+import jax.numpy as jnp
+
+from .config import config, ILP64_HINT
+from . import backend as _backend
+
+VALID_DTYPES = (np.float32, np.float64, np.complex64, np.complex128)
+REAL_DTYPES = (np.float32, np.float64)
+COMPLEX_DTYPES = (np.complex64, np.complex128)
+
+_COMPLEX_TO_REAL = {
+    np.dtype(np.complex64): np.dtype(np.float32),
+    np.dtype(np.complex128): np.dtype(np.float64),
+}
+_REAL_TO_COMPLEX = {v: k for k, v in _COMPLEX_TO_REAL.items()}
+
+
+def _validate_dtype(dtype):
+    if np.dtype(dtype) not in [np.dtype(d) for d in VALID_DTYPES]:
+        raise ValueError(
+            "Matrix data type must be float32, float64, complex64, or "
+            f"complex128; {np.dtype(dtype)} provided"
+        )
+
+
+def _check_index_bounds(nnz, shape):
+    int_max = np.iinfo(config.index_dtype).max
+    if nnz > int_max or max(shape) > int_max:
+        raise ValueError(
+            f"Index interface is {np.dtype(config.index_dtype)} and cannot "
+            f"hold a matrix with shape {shape} / nnz {nnz}; {ILP64_HINT}"
+        )
+
+
+def _use_planar(dtype):
+    dtype = np.dtype(dtype)
+    if dtype not in _COMPLEX_TO_REAL:
+        return False
+    if config.force_planar_complex:
+        return True
+    return not _backend.supports_native_complex()
+
+
+def _split_complex(arr):
+    """numpy complex array -> stacked (2, ...) real array."""
+    real_dtype = _COMPLEX_TO_REAL[np.dtype(arr.dtype)]
+    return np.stack(
+        [np.ascontiguousarray(arr.real), np.ascontiguousarray(arr.imag)]
+    ).astype(real_dtype)
+
+
+class SparseDeviceMatrix:
+    """Base class for device sparse containers.
+
+    Attributes
+    ----------
+    data : jnp.ndarray
+        Nonzero values.  For planar-complex storage the leading axis has
+        length 2 (real, imag) and ``dtype`` still reports the complex type.
+    indices, indptr : jnp.ndarray
+        Compressed-sparse index arrays in the active index dtype.
+    shape : tuple of int (static)
+    """
+
+    format = None  # "csr" | "csc" | "bsr"
+
+    def __init__(self, data, indices, indptr, shape, dtype=None, planar=False):
+        self.data = data
+        self.indices = indices
+        self.indptr = indptr
+        self.shape = tuple(int(s) for s in shape)
+        self.planar = bool(planar)
+        if dtype is not None:
+            self._dtype = np.dtype(dtype)
+        elif planar:
+            self._dtype = _REAL_TO_COMPLEX[np.dtype(data.dtype)]
+        else:
+            self._dtype = np.dtype(data.dtype)
+
+    # -- basic properties ---------------------------------------------------
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def nnz(self):
+        # CSR/CSC data is (nnz,) or planar (2, nnz); BSR overrides.
+        return int(self.data.shape[-1])
+
+    @property
+    def density(self):
+        size = self.shape[0] * self.shape[1]
+        return self.nnz / size if size else 0.0
+
+    @property
+    def iscomplex(self):
+        return self._dtype in _COMPLEX_TO_REAL
+
+    def real_view(self):
+        """Return a real-dtyped container sharing this pattern (planar)."""
+        if not self.planar:
+            raise ValueError("real_view only valid for planar storage")
+        return type(self)._rebuild(self, self.data[0])
+
+    def imag_view(self):
+        if not self.planar:
+            raise ValueError("imag_view only valid for planar storage")
+        return type(self)._rebuild(self, self.data[1])
+
+    @classmethod
+    def _rebuild(cls, template, new_data, planar=False, dtype=None):
+        out = cls.__new__(cls)
+        out.data = new_data
+        out.indices = template.indices
+        out.indptr = template.indptr
+        out.shape = template.shape
+        out.planar = planar
+        if dtype is not None:
+            out._dtype = np.dtype(dtype)
+        elif planar:
+            out._dtype = _REAL_TO_COMPLEX[np.dtype(new_data.dtype)]
+        else:
+            out._dtype = np.dtype(new_data.dtype)
+        if isinstance(template, BSR):
+            out.blocksize = template.blocksize
+        return out
+
+    def with_data(self, new_data, planar=None, dtype=None):
+        planar = self.planar if planar is None else planar
+        return type(self)._rebuild(self, new_data, planar=planar, dtype=dtype)
+
+    # -- pytree protocol ----------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.data, self.indices, self.indptr)
+        aux = (self.shape, self._dtype, self.planar, getattr(self, "blocksize", None))
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        shape, dtype, planar, blocksize = aux
+        obj = cls.__new__(cls)
+        obj.data, obj.indices, obj.indptr = children
+        obj.shape = shape
+        obj._dtype = dtype
+        obj.planar = planar
+        if blocksize is not None:
+            obj.blocksize = blocksize
+        return obj
+
+    def __repr__(self):
+        return (
+            f"<{type(self).__name__} shape={self.shape} nnz={self.nnz} "
+            f"dtype={self.dtype}{' planar' if self.planar else ''}>"
+        )
+
+
+def _to_device_indices(arr):
+    return jnp.asarray(np.asarray(arr, dtype=config.index_dtype))
+
+
+def _data_to_device(data_np):
+    """Host values -> device array, planar-splitting complex if needed."""
+    _validate_dtype(data_np.dtype)
+    if np.iscomplexobj(data_np) and _use_planar(data_np.dtype):
+        return jnp.asarray(_split_complex(data_np)), True
+    return jnp.asarray(data_np), False
+
+
+@jax.tree_util.register_pytree_node_class
+class CSR(SparseDeviceMatrix):
+    format = "csr"
+
+    @classmethod
+    def from_scipy(cls, mat):
+        if not _sps.issparse(mat) or mat.format != "csr":
+            raise ValueError(f"Expected scipy CSR matrix, got {type(mat)}")
+        _check_index_bounds(mat.nnz, mat.shape)
+        data, planar = _data_to_device(mat.data)
+        return cls(
+            data,
+            _to_device_indices(mat.indices),
+            _to_device_indices(mat.indptr),
+            mat.shape,
+            dtype=mat.dtype,
+            planar=planar,
+        )
+
+    def to_scipy(self, container=_sps.csr_matrix):
+        data = _host_data(self)
+        return container(
+            (data, np.asarray(self.indices), np.asarray(self.indptr)),
+            shape=self.shape,
+        )
+
+    def row_indices(self):
+        """Expand indptr to one row id per nonzero (device op)."""
+        return _expand_indptr(self.indptr, self.nnz)
+
+    @property
+    def T(self):
+        """Zero-cost transpose: a CSR's buffers reread as CSC."""
+        out = CSC.__new__(CSC)
+        out.data = self.data
+        out.indices = self.indices
+        out.indptr = self.indptr
+        out.shape = (self.shape[1], self.shape[0])
+        out.planar = self.planar
+        out._dtype = self._dtype
+        return out
+
+
+@jax.tree_util.register_pytree_node_class
+class CSC(SparseDeviceMatrix):
+    format = "csc"
+
+    @classmethod
+    def from_scipy(cls, mat):
+        if not _sps.issparse(mat) or mat.format != "csc":
+            raise ValueError(f"Expected scipy CSC matrix, got {type(mat)}")
+        _check_index_bounds(mat.nnz, mat.shape)
+        data, planar = _data_to_device(mat.data)
+        return cls(
+            data,
+            _to_device_indices(mat.indices),
+            _to_device_indices(mat.indptr),
+            mat.shape,
+            dtype=mat.dtype,
+            planar=planar,
+        )
+
+    def to_scipy(self, container=_sps.csc_matrix):
+        data = _host_data(self)
+        return container(
+            (data, np.asarray(self.indices), np.asarray(self.indptr)),
+            shape=self.shape,
+        )
+
+    def col_indices(self):
+        return _expand_indptr(self.indptr, self.nnz)
+
+    @property
+    def T(self):
+        out = CSR.__new__(CSR)
+        out.data = self.data
+        out.indices = self.indices
+        out.indptr = self.indptr
+        out.shape = (self.shape[1], self.shape[0])
+        out.planar = self.planar
+        out._dtype = self._dtype
+        return out
+
+
+@jax.tree_util.register_pytree_node_class
+class BSR(SparseDeviceMatrix):
+    """Block CSR with square blocks — the MXU-aligned format.
+
+    ``data`` is (nblocks, bs, bs) (or (2, nblocks, bs, bs) planar);
+    ``indices`` holds block-column ids; ``indptr`` compresses block rows.
+    """
+
+    format = "bsr"
+
+    def __init__(self, data, indices, indptr, shape, blocksize,
+                 dtype=None, planar=False):
+        super().__init__(data, indices, indptr, shape, dtype=dtype,
+                         planar=planar)
+        self.blocksize = (int(blocksize[0]), int(blocksize[1]))
+
+    @classmethod
+    def from_scipy(cls, mat):
+        if not _sps.issparse(mat) or mat.format != "bsr":
+            raise ValueError(f"Expected scipy BSR matrix, got {type(mat)}")
+        R, C = mat.blocksize
+        if R != C:
+            raise ValueError(
+                f"BSR blocks must be square; blocksize {mat.blocksize} "
+                "provided"
+            )
+        if mat.shape[0] % R or mat.shape[1] % C:
+            raise ValueError(
+                f"BSR matrix dims {mat.shape} must be divisible by the "
+                f"blocksize {mat.blocksize}"
+            )
+        _check_index_bounds(mat.nnz, mat.shape)
+        data, planar = _data_to_device(mat.data)
+        return cls(
+            data,
+            _to_device_indices(mat.indices),
+            _to_device_indices(mat.indptr),
+            mat.shape,
+            (R, C),
+            dtype=mat.dtype,
+            planar=planar,
+        )
+
+    def to_scipy(self, container=_sps.bsr_matrix):
+        data = _host_data(self)
+        return container(
+            (data, np.asarray(self.indices), np.asarray(self.indptr)),
+            shape=self.shape,
+            blocksize=self.blocksize,
+        )
+
+    @property
+    def nnz(self):
+        nblocks = (
+            self.data.shape[1] if self.planar else self.data.shape[0]
+        )
+        return int(nblocks) * self.blocksize[0] * self.blocksize[1]
+
+    @property
+    def nblocks(self):
+        return int(self.data.shape[1] if self.planar else self.data.shape[0])
+
+    def block_row_indices(self):
+        return _expand_indptr(self.indptr, self.nblocks)
+
+
+def _host_data(mat):
+    """Device data back to a host numpy array, rejoining planar complex."""
+    if mat.planar:
+        d = np.asarray(mat.data)
+        return (d[0] + 1j * d[1]).astype(mat.dtype)
+    return np.asarray(mat.data)
+
+
+def _expand_indptr(indptr, nnz):
+    """indptr -> per-nonzero segment ids, on device.
+
+    ``searchsorted(indptr, arange(nnz), side='right') - 1`` maps each data
+    position to its compressed-axis id, including empty segments.
+    """
+    if nnz == 0:
+        return jnp.zeros((0,), dtype=indptr.dtype)
+    pos = jnp.arange(nnz, dtype=indptr.dtype)
+    return (
+        jnp.searchsorted(indptr, pos, side="right").astype(indptr.dtype) - 1
+    )
+
+
+# ---------------------------------------------------------------------------
+# scipy-facing format helpers (reference: _common.py:216-242)
+# ---------------------------------------------------------------------------
+
+try:
+    _scipy_output_types = {
+        "csr_matrix": _sps.csr_matrix,
+        "csr_array": _sps.csr_array,
+        "csc_matrix": _sps.csc_matrix,
+        "csc_array": _sps.csc_array,
+        "bsr_matrix": _sps.bsr_matrix,
+        "bsr_array": _sps.bsr_array,
+    }
+    _scipy_format_classes = {
+        "csr": (_sps.csr_matrix, _sps.csr_array),
+        "csc": (_sps.csc_matrix, _sps.csc_array),
+        "bsr": (_sps.bsr_matrix, _sps.bsr_array),
+    }
+except AttributeError:  # very old scipy without *_array classes
+    _scipy_output_types = {
+        "csr_matrix": _sps.csr_matrix,
+        "csc_matrix": _sps.csc_matrix,
+        "bsr_matrix": _sps.bsr_matrix,
+    }
+    _scipy_format_classes = {
+        "csr": (_sps.csr_matrix,),
+        "csc": (_sps.csc_matrix,),
+        "bsr": (_sps.bsr_matrix,),
+    }
+
+
+def is_csr(x):
+    return isinstance(x, _scipy_format_classes["csr"]) or isinstance(x, CSR)
+
+
+def is_csc(x):
+    return isinstance(x, _scipy_format_classes["csc"]) or isinstance(x, CSC)
+
+
+def is_bsr(x):
+    return isinstance(x, _scipy_format_classes["bsr"]) or isinstance(x, BSR)
+
+
+def is_device_sparse(x):
+    return isinstance(x, SparseDeviceMatrix)
+
+
+def issparse(x):
+    return _sps.issparse(x) or is_device_sparse(x)
+
+
+def sparse_output_type(x):
+    """Return (constructor, type-name) matching the input's class, so the
+    product of a ``csr_array`` is a ``csr_array`` etc.
+    (reference ``sparse_output_type``, ``_common.py:228-242``)."""
+    for name, constructor in _scipy_output_types.items():
+        if isinstance(x, constructor):
+            return constructor, name
+    if isinstance(x, CSR):
+        return _sps.csr_matrix, "csr_matrix"
+    if isinstance(x, CSC):
+        return _sps.csc_matrix, "csc_matrix"
+    if isinstance(x, BSR):
+        return _sps.bsr_matrix, "bsr_matrix"
+    raise ValueError(
+        "Input matrices must be CSR, CSC, or BSR; COO is not supported"
+    )
+
+
+_DEVICE_CLASSES = {"csr": CSR, "csc": CSC, "bsr": BSR}
+
+
+def to_device(mat):
+    """scipy sparse (CSR/CSC/BSR) or device container -> device container."""
+    if is_device_sparse(mat):
+        return mat
+    if not _sps.issparse(mat):
+        raise ValueError(f"Expected a sparse matrix, got {type(mat)}")
+    if mat.format not in _DEVICE_CLASSES:
+        raise ValueError(
+            "Input matrices must be CSR, CSC, or BSR; "
+            f"{mat.format.upper()} is not supported"
+        )
+    return _DEVICE_CLASSES[mat.format].from_scipy(mat)
+
+
+def dense_to_device(arr):
+    """Host dense array -> device array (planar pair for complex on
+    backends without native complex support)."""
+    arr = np.asarray(arr)
+    if np.iscomplexobj(arr) and _use_planar(arr.dtype):
+        return jnp.asarray(_split_complex(arr)), True
+    return jnp.asarray(arr), False

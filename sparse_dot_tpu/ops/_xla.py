@@ -1,0 +1,324 @@
+"""Pure-device sparse kernels in XLA (jit-compatible, all real dtypes the
+backend supports, plus native complex on CPU/GPU backends).
+
+These are the TPU-native replacements for the MKL symbol families bound in
+``/root/reference/sparse_dot_mkl/_mkl_interface/_cfunctions.py``:
+
+* ``mkl_sparse_?_mv``   -> :func:`coo_spmv`            (SpMV)
+* ``mkl_sparse_?_mm``   -> :func:`coo_spmm` / :func:`bsr_spmm`  (SpMM)
+* ``cblas_?gemm``       -> :func:`gemm`                 (dense GEMM, MXU)
+* ``mkl_sparse_spmm``/``spmmd`` -> :func:`spgemm_dense` + host compaction
+* ``mkl_sparse_syrk``/``syrkd``/``cblas_?syrk`` -> :func:`syrk_dense`
+* ``mkl_sparse_convert_csr`` / ``mkl_sparse_order`` ->
+  :func:`coo_to_csr_arrays` / :func:`sort_csr`
+
+Everything here works on plain arrays (not containers) so it can be used
+inside ``jit`` / ``shard_map`` without pytree overhead.  The sparse
+operand is in expanded-COO form (``rows``, ``cols``, ``vals``) — CSR/CSC
+both lower to it via ``formats._expand_indptr`` — except the BSR kernel,
+which consumes block arrays directly and runs on the MXU via a batched
+matmul.
+
+Design notes (TPU):
+* Irregular access is expressed as gather + scatter-add, which XLA lowers
+  to efficient dynamic-slice loops on TPU; the MXU paths (BSR, densified
+  SpMM, GEMM) use ``dot_general``.
+* A density-adaptive path densifies the sparse operand and uses the MXU
+  when the extra FLOPs are cheaper than gather/scatter HBM traffic —
+  on TPU the crossover is at a much lower density than on CPU because
+  MXU FLOPs are effectively free relative to bandwidth.
+* Large-nnz gathers are chunked with ``lax.scan`` to bound the memory
+  high-water mark.
+"""
+
+import functools
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+HIGHEST = lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Dense GEMM / SYRK (MXU)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def gemm(a, b, alpha=1.0, beta=0.0, c0=None, precision=HIGHEST):
+    """alpha * (a @ b) + beta * c0 on the MXU (cblas_?gemm analog)."""
+    out = jnp.dot(a, b, precision=precision)
+    out = out * jnp.asarray(alpha, out.dtype)
+    if c0 is not None:
+        out = out + jnp.asarray(beta, out.dtype) * c0
+    return out
+
+
+@partial(jax.jit, static_argnames=("aat", "conj", "precision"))
+def syrk_dense(a, aat=False, conj=False, alpha=1.0, beta=0.0, c0=None,
+               precision=HIGHEST):
+    """Upper-triangular gram matrix: triu(alpha * op(a) + beta * c0) with
+    op(a) = a @ a^H (aat=True) or a^H @ a.  The strict lower triangle is
+    beta * c0 (untouched input), matching cblas_?syrk semantics."""
+    at = jnp.conj(a.T) if conj else a.T
+    full = jnp.dot(a, at, precision=precision) if aat else jnp.dot(
+        at, a, precision=precision
+    )
+    full = full * jnp.asarray(alpha, full.dtype)
+    upper = jnp.triu(full)
+    if c0 is not None:
+        return upper + jnp.asarray(beta, full.dtype) * c0
+    return upper
+
+
+# ---------------------------------------------------------------------------
+# COO-expanded SpMV / SpMM
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("m",))
+def coo_spmv(rows, cols, vals, x, m, alpha=1.0, beta=0.0, y0=None):
+    """y = alpha * A @ x (+ beta * y0); A given as expanded COO."""
+    prods = vals * x[cols]
+    y = jnp.zeros((m,), dtype=prods.dtype).at[rows].add(prods, mode="drop")
+    y = y * jnp.asarray(alpha, y.dtype)
+    if y0 is not None:
+        y = y + jnp.asarray(beta, y.dtype) * y0
+    return y
+
+
+def _spmm_scatter_oneshot(rows, cols, vals, b, m):
+    gathered = vals[:, None] * b[cols, :]
+    return jnp.zeros((m, b.shape[1]), dtype=gathered.dtype).at[rows].add(
+        gathered, mode="drop"
+    )
+
+
+@partial(jax.jit, static_argnames=("m", "nchunks"))
+def _spmm_scatter_chunked(rows, cols, vals, b, m, nchunks):
+    """Scan over nnz chunks to bound memory: each step gathers a chunk of
+    B rows, scales, and scatter-adds into the dense accumulator."""
+    n = b.shape[1]
+    chunk = rows.shape[0] // nchunks
+    rows_c = rows.reshape(nchunks, chunk)
+    cols_c = cols.reshape(nchunks, chunk)
+    vals_c = vals.reshape(nchunks, chunk)
+
+    def step(c, args):
+        r, k, v = args
+        g = v[:, None] * b[k, :]
+        return c.at[r].add(g, mode="drop"), None
+
+    c0 = jnp.zeros((m, n), dtype=vals.dtype)
+    c, _ = lax.scan(step, c0, (rows_c, cols_c, vals_c))
+    return c
+
+
+def coo_spmm_raw(rows, cols, vals, b, m, chunk_elements=1 << 24):
+    """A @ b with A as expanded COO; picks one-shot vs chunked scatter.
+
+    Not jitted at this level (the branches are); callers inside jit should
+    use the underlying jitted functions directly.
+    """
+    nnz = int(rows.shape[0])
+    n = int(b.shape[1])
+    if nnz == 0:
+        return jnp.zeros((m, n), dtype=jnp.result_type(vals.dtype, b.dtype))
+    if nnz * n <= chunk_elements:
+        return jax.jit(_spmm_scatter_oneshot, static_argnames=("m",))(
+            rows, cols, vals, b, m=m
+        )
+    # Pad nnz to a multiple of the chunk count; padded entries scatter to
+    # row index m which is dropped (mode="drop").
+    nchunks = max(1, (nnz * n) // chunk_elements)
+    chunk = -(-nnz // nchunks)
+    pad = nchunks * chunk - nnz
+    if pad:
+        rows = jnp.concatenate([rows, jnp.full((pad,), m, rows.dtype)])
+        cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+    return _spmm_scatter_chunked(rows, cols, vals, b, m=m, nchunks=nchunks)
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def densify(rows, cols, vals, shape):
+    """Expanded COO -> dense (duplicates sum, like scipy)."""
+    return jnp.zeros(shape, dtype=vals.dtype).at[rows, cols].add(
+        vals, mode="drop"
+    )
+
+
+@partial(jax.jit, static_argnames=("m", "precision"))
+def spmm_densified(rows, cols, vals, b, m, precision=HIGHEST):
+    """Densify A and multiply on the MXU — the TPU fast path when density
+    (or backend scatter cost) makes gather/scatter lose to free FLOPs."""
+    a_dense = jnp.zeros((m, b.shape[0]), dtype=vals.dtype).at[
+        rows, cols
+    ].add(vals, mode="drop")
+    return jnp.dot(a_dense, b, precision=precision)
+
+
+def coo_spmm(rows, cols, vals, b, m, k, alpha=1.0, beta=0.0, c0=None,
+             densify_ok=True, density=None, chunk_elements=1 << 24,
+             precision=HIGHEST):
+    """Full SpMM with alpha/beta accumulate and adaptive path selection.
+
+    Eager-level entry (jit happens underneath per-path).
+    """
+    nnz = int(vals.shape[-1])
+    if density is None:
+        density = nnz / max(m * k, 1)
+
+    use_mxu = (
+        densify_ok
+        and not jnp.iscomplexobj(vals)
+        and _prefer_densify(m, k, int(b.shape[1]), nnz)
+    )
+    if use_mxu:
+        c = spmm_densified(rows, cols, vals, b, m=m, precision=precision)
+    else:
+        c = coo_spmm_raw(rows, cols, vals, b, m, chunk_elements)
+
+    return _apply_out_scalar(c, alpha, beta, c0)
+
+
+def _prefer_densify(m, k, n, nnz):
+    """Heuristic MXU-vs-scatter crossover.
+
+    Scatter path traffic ~ nnz * n * (gather + scatter) elements; densify
+    path does m*k*n MXU flops + m*k densify traffic.  On TPU the MXU is so
+    much faster than scatter loops that densify wins unless the matrix is
+    extremely sparse or the dense operand is tiny.
+    """
+    from ..backend import default_platform
+
+    if default_platform() == "cpu":
+        # XLA:CPU scatter is decent and dense flops are not free.
+        return nnz / max(m * k, 1) > 0.25
+    scatter_cost = 4.0 * nnz * max(n, 1)
+    dense_cost = m * k * max(n, 1) / 64.0 + m * k
+    return dense_cost < scatter_cost
+
+
+@jax.jit
+def _apply_out_scalar(c, alpha, beta, c0):
+    c = c * jnp.asarray(alpha, c.dtype)
+    if c0 is not None:
+        c = c + jnp.asarray(beta, c.dtype) * c0
+    return c
+
+
+# ---------------------------------------------------------------------------
+# BSR SpMM (MXU batched-matmul path)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("m", "precision"))
+def bsr_spmm(block_data, block_rows, block_cols, b, m, precision=HIGHEST):
+    """C = A @ b for BSR A.
+
+    block_data : (nb, R, C); block_rows/block_cols: (nb,) block coords.
+    Gathers B block-panels and contracts with a batched matmul so every
+    block multiply lands on the MXU, then scatter-adds block rows.
+    """
+    nb, R, C = block_data.shape
+    k, n = b.shape
+    b_blocked = b.reshape(k // C, C, n)
+    gathered = b_blocked[block_cols]  # (nb, C, n)
+    prods = lax.dot_general(
+        block_data,
+        gathered,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=precision,
+    )  # (nb, R, n)
+    c_blocked = jnp.zeros((m // R, R, n), dtype=prods.dtype).at[
+        block_rows
+    ].add(prods, mode="drop")
+    return c_blocked.reshape(m, n)
+
+
+# ---------------------------------------------------------------------------
+# Format conversion / index ordering
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_compressed",))
+def coo_to_csr_arrays(rows, cols, vals, n_compressed):
+    """Sort expanded COO by (row, col) and build CSR arrays on device.
+
+    Returns (data, indices, indptr) with sorted column indices per row —
+    the device-native ``mkl_sparse_convert_csr`` + ``mkl_sparse_order``.
+    """
+    key = rows.astype(jnp.int64) * (jnp.max(cols, initial=0).astype(jnp.int64) + 1) + cols.astype(jnp.int64)
+    order = jnp.argsort(key)
+    r_s, c_s, v_s = rows[order], cols[order], vals[order]
+    counts = jnp.zeros((n_compressed,), dtype=rows.dtype).at[r_s].add(
+        jnp.ones_like(r_s), mode="drop"
+    )
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), rows.dtype), jnp.cumsum(counts).astype(rows.dtype)]
+    )
+    return v_s, c_s, indptr
+
+
+@jax.jit
+def sort_csr_indices(indptr_rows, cols, vals, ncols):
+    """Order column indices within each row (``mkl_sparse_order`` analog).
+
+    ``indptr_rows`` is the expanded per-nnz row id; a single stable sort of
+    the combined (row * ncols + col) key orders every row at once.
+    """
+    key = (
+        indptr_rows.astype(jnp.int64) * jnp.asarray(ncols, jnp.int64)
+        + cols.astype(jnp.int64)
+    )
+    order = jnp.argsort(key)
+    return cols[order], vals[order]
+
+
+# ---------------------------------------------------------------------------
+# SpGEMM (sparse x sparse)
+# ---------------------------------------------------------------------------
+
+
+def spgemm_dense(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m, k, n,
+                 chunk_elements=1 << 24, precision=HIGHEST):
+    """A @ B with both operands sparse, dense output (spmmd analog).
+
+    Densifies the structurally smaller operand and reuses the SpMM kernel;
+    when both are dense-ish this collapses to a single MXU matmul.
+    """
+    b_dense = densify(b_rows, b_cols, b_vals, (k, n))
+    return coo_spmm(
+        a_rows, a_cols, a_vals, b_dense, m, k,
+        chunk_elements=chunk_elements, precision=precision,
+    )
+
+
+@partial(jax.jit, static_argnames=("nnz",))
+def extract_sparse(c_dense, nnz):
+    """Dense -> CSR arrays with exactly ``nnz`` structural nonzeros.
+
+    ``nnz`` must equal the true count (obtained via ``count_nonzero`` with
+    a host sync — the same sync MKL's allocate-inside-spmm implies).
+    Row-major nonzero order yields sorted column indices per row.
+    """
+    m = c_dense.shape[0]
+    rows, cols = jnp.nonzero(c_dense, size=nnz, fill_value=m)
+    vals = c_dense[jnp.minimum(rows, m - 1), cols]
+    counts = jnp.zeros((m,), dtype=jnp.int32).at[rows].add(
+        jnp.ones_like(rows, dtype=jnp.int32), mode="drop"
+    )
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
+    return vals, cols.astype(jnp.int32), indptr
+
+
+@jax.jit
+def count_nonzero(c_dense):
+    return jnp.count_nonzero(c_dense)

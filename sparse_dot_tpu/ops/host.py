@@ -1,0 +1,335 @@
+"""Eager host-boundary wrappers around the device kernels.
+
+These are what the scipy-facing dispatch drivers call.  Responsibilities:
+
+* scipy/numpy <-> device conversion (including planar complex splitting
+  on backends without native complex — see ``formats``),
+* lowering CSR/CSC/BSR containers to the expanded-COO arrays the device
+  kernels consume (with transpose handled by swapping row/col roles),
+* complex products as four real products when the backend needs planar
+  storage (C = (ArBr - AiBi) + i(ArBi + AiBr) — the products share one
+  sparsity pattern so index arrays are reused),
+* alpha / beta(out_scalar) accumulate semantics (device-side for real
+  dtypes, host-side for planar complex),
+* density-adaptive kernel choice (scatter vs densified-MXU vs BSR batch).
+
+Reference behavior being reproduced: the op drivers in
+``/root/reference/sparse_dot_mkl/_sparse_dense.py``, ``_sparse_vector.py``,
+``_sparse_sparse.py``, ``_dense_dense.py``, ``_gram_matrix.py`` — minus
+all handle lifecycle, which does not exist here.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import formats
+from ..config import config
+from . import _xla
+
+
+# ---------------------------------------------------------------------------
+# container lowering
+# ---------------------------------------------------------------------------
+
+
+def _bsr_element_coo(A, data):
+    """Expand BSR blocks to element COO on device."""
+    R, C = A.blocksize
+    nb = A.nblocks
+    br = A.block_row_indices()
+    bc = A.indices
+    i = jnp.arange(R, dtype=br.dtype)
+    j = jnp.arange(C, dtype=br.dtype)
+    # Broadcast against element grids to (nb, R, C) then flatten.
+    rows = jnp.broadcast_to(
+        (br[:, None, None] * R + i[None, :, None]), (nb, R, C)
+    ).reshape(-1)
+    cols = jnp.broadcast_to(
+        (bc[:, None, None] * C + j[None, None, :]), (nb, R, C)
+    ).reshape(-1)
+    return rows, cols, data.reshape(-1)
+
+
+def coo_parts(A, data=None, transpose=False):
+    """Lower a container to (rows, cols, vals, m, k) expanded COO.
+
+    ``data`` overrides the container's data (used for planar real/imag
+    passes).  ``transpose`` swaps the row/col roles, giving A^T for free.
+    """
+    data = A.data if data is None else data
+    if isinstance(A, formats.CSR):
+        rows, cols = A.row_indices(), A.indices
+        vals = data
+    elif isinstance(A, formats.CSC):
+        rows, cols = A.indices, A.col_indices()
+        vals = data
+    elif isinstance(A, formats.BSR):
+        rows, cols, vals = _bsr_element_coo(A, data)
+    else:
+        raise ValueError(f"Unsupported container {type(A)}")
+    m, k = A.shape
+    if transpose:
+        rows, cols = cols, rows
+        m, k = k, m
+    return rows, cols, vals, m, k
+
+
+def _a_parts(A):
+    """(real_container_data, imag_container_data|None) for planar A."""
+    if A.planar:
+        return A.data[0], A.data[1]
+    return A.data, None
+
+
+def _dense_parts(b_np):
+    """Host dense -> (device_real, device_imag|None, was_planar)."""
+    dev, planar = formats.dense_to_device(b_np)
+    if planar:
+        return dev[0], dev[1], True
+    return dev, None, False
+
+
+def _combine_planar(re_np, im_np, dtype):
+    return (re_np + 1j * im_np).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# SpMM / SpMV
+# ---------------------------------------------------------------------------
+
+
+def _real_spmm(A, a_data, b_dev, transpose):
+    """One real SpMM pass: returns a device (m, n) array."""
+    if (
+        isinstance(A, formats.BSR)
+        and not transpose
+        and A.shape[0] % A.blocksize[0] == 0
+    ):
+        return _xla.bsr_spmm(
+            a_data, A.block_row_indices(), A.indices, b_dev, m=A.shape[0]
+        )
+    rows, cols, vals, m, k = coo_parts(A, data=a_data, transpose=transpose)
+    return _xla.coo_spmm(
+        rows, cols, vals, b_dev, m, k,
+        chunk_elements=config.spmm_chunk_elements,
+    )
+
+
+def _real_spmv(A, a_data, x_dev, transpose):
+    rows, cols, vals, m, k = coo_parts(A, data=a_data, transpose=transpose)
+    return _xla.coo_spmv(rows, cols, vals, x_dev, m=m)
+
+
+def _bilinear_host(A, b_np, one_pass, out_dtype, alpha=1.0,
+                   out=None, out_scalar=None, transpose=False):
+    """Run a bilinear sparse-dense op with complex decomposition and
+    accumulate semantics; returns a host numpy array (row-major)."""
+    beta = 1.0 if out_scalar is None else out_scalar
+    ar, ai = _a_parts(A)
+    br, bi, b_planar = _dense_parts(np.asarray(b_np))
+    is_complex_out = np.dtype(out_dtype).kind == "c"
+
+    if not A.planar and not b_planar:
+        # Native path (real everywhere, or backend with native complex).
+        res = one_pass(A, ar, jnp.asarray(np.asarray(b_np)), transpose)
+        res = np.asarray(_xla._apply_out_scalar(res, alpha, 0.0, None))
+        res = res.astype(out_dtype, copy=False)
+    else:
+        # Planar complex: four (or fewer) real passes.
+        rr = one_pass(A, ar, br, transpose)
+        re = rr
+        im = None
+        if ai is not None and bi is not None:
+            re = rr - one_pass(A, ai, bi, transpose)
+            im = one_pass(A, ar, bi, transpose) + one_pass(A, ai, br, transpose)
+        elif ai is not None:
+            im = one_pass(A, ai, br, transpose)
+        elif bi is not None:
+            im = one_pass(A, ar, bi, transpose)
+        re_np = np.asarray(re) * alpha
+        im_np = (np.asarray(im) * alpha) if im is not None else np.zeros_like(re_np)
+        res = _combine_planar(re_np, im_np, out_dtype)
+
+    if out is not None:
+        res = res + np.asarray(beta, dtype=out_dtype) * np.asarray(out)
+    return res
+
+
+def spmm(A, b_np, out_dtype, alpha=1.0, out=None, out_scalar=None,
+         transpose=False):
+    """alpha * op(A) @ b + out_scalar * out -> host numpy (row-major)."""
+    return _bilinear_host(
+        A, b_np, _real_spmm, out_dtype, alpha=alpha, out=out,
+        out_scalar=out_scalar, transpose=transpose,
+    )
+
+
+def spmv(A, x_np, out_dtype, alpha=1.0, out=None, out_scalar=None,
+         transpose=False):
+    return _bilinear_host(
+        A, x_np, _real_spmv, out_dtype, alpha=alpha, out=out,
+        out_scalar=out_scalar, transpose=transpose,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dense GEMM
+# ---------------------------------------------------------------------------
+
+
+def gemm(a_np, b_np, out_dtype, alpha=1.0, out=None, out_scalar=None):
+    beta = 1.0 if out_scalar is None else out_scalar
+    a_np, b_np = np.asarray(a_np), np.asarray(b_np)
+    ar, ai, a_planar = _dense_parts(a_np)
+    br, bi, b_planar = _dense_parts(b_np)
+
+    if not a_planar and not b_planar:
+        res = np.asarray(
+            _xla.gemm(jnp.asarray(a_np), jnp.asarray(b_np), alpha=alpha)
+        ).astype(out_dtype, copy=False)
+    else:
+        rr = _xla.gemm(ar, br)
+        re, im = rr, None
+        if ai is not None and bi is not None:
+            re = rr - _xla.gemm(ai, bi)
+            im = _xla.gemm(ar, bi) + _xla.gemm(ai, br)
+        elif ai is not None:
+            im = _xla.gemm(ai, br)
+        elif bi is not None:
+            im = _xla.gemm(ar, bi)
+        re_np = np.asarray(re) * alpha
+        im_np = (np.asarray(im) * alpha) if im is not None else np.zeros_like(re_np)
+        res = _combine_planar(re_np, im_np, out_dtype)
+
+    if out is not None:
+        res = res + np.asarray(beta, dtype=out_dtype) * np.asarray(out)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# SpGEMM (sparse x sparse)
+# ---------------------------------------------------------------------------
+
+
+def _spgemm_dense_real(A, a_data, B, b_data):
+    a_rows, a_cols, a_vals, m, k = coo_parts(A, data=a_data)
+    b_rows, b_cols, b_vals, k2, n = coo_parts(B, data=b_data)
+    return _xla.spgemm_dense(
+        a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m, k, n,
+        chunk_elements=config.spmm_chunk_elements,
+    )
+
+
+def spgemm_dense(A, B, out_dtype, out=None, out_scalar=None):
+    """A @ B -> dense host numpy (spmmd analog)."""
+    beta = 1.0 if out_scalar is None else out_scalar
+    ar, ai = _a_parts(A)
+    br, bi = _a_parts(B)
+
+    if not A.planar and not B.planar:
+        res = np.asarray(_spgemm_dense_real(A, ar, B, br)).astype(
+            out_dtype, copy=False
+        )
+    else:
+        rr = _spgemm_dense_real(A, ar, B, br)
+        re, im = rr, None
+        if ai is not None and bi is not None:
+            re = rr - _spgemm_dense_real(A, ai, B, bi)
+            im = _spgemm_dense_real(A, ar, B, bi) + _spgemm_dense_real(
+                A, ai, B, br
+            )
+        elif ai is not None:
+            im = _spgemm_dense_real(A, ai, B, br)
+        elif bi is not None:
+            im = _spgemm_dense_real(A, ar, B, bi)
+        re_np = np.asarray(re)
+        im_np = np.asarray(im) if im is not None else np.zeros_like(re_np)
+        res = _combine_planar(re_np, im_np, out_dtype)
+
+    if out is not None:
+        res = res + np.asarray(beta, dtype=out_dtype) * np.asarray(out)
+    return res
+
+
+def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
+    """A @ B -> (data, indices, indptr) host CSR arrays.
+
+    Two-phase under the hood: numeric dense accumulation on device, then a
+    structural-count host sync (the analog of MKL allocating the output
+    inside ``mkl_sparse_spmm``) and an on-device compaction with a static
+    nnz.  ``triangular=True`` keeps only the upper triangle (syrk).
+    """
+    dense = spgemm_dense(A, B, out_dtype)
+    if triangular:
+        dense = np.triu(dense)
+    if np.iscomplexobj(dense):
+        # Compaction on host for planar/complex results.
+        mask = dense != 0
+        counts = mask.sum(axis=1)
+        indptr = np.concatenate([[0], np.cumsum(counts)]).astype(
+            config.index_dtype
+        )
+        rows, cols = np.nonzero(mask)
+        return dense[rows, cols], cols.astype(config.index_dtype), indptr
+
+    dense_dev = jnp.asarray(dense)
+    nnz = int(_xla.count_nonzero(dense_dev))
+    if nnz == 0:
+        m = dense.shape[0]
+        return (
+            np.zeros((0,), dtype=out_dtype),
+            np.zeros((0,), dtype=config.index_dtype),
+            np.zeros((m + 1,), dtype=config.index_dtype),
+        )
+    vals, cols, indptr = _xla.extract_sparse(dense_dev, nnz=nnz)
+    return (
+        np.asarray(vals).astype(out_dtype, copy=False),
+        np.asarray(cols).astype(config.index_dtype),
+        np.asarray(indptr).astype(config.index_dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gram (syrk) paths
+# ---------------------------------------------------------------------------
+
+
+def gram_dense_from_dense(a_np, out_dtype, aat=False, out=None,
+                          out_scalar=None):
+    """triu(op(a)) from a dense operand (cblas_?syrk analog): the strict
+    lower triangle of the result is out_scalar * out (or zero)."""
+    beta = 1.0 if out_scalar is None else out_scalar
+    a_dev = jnp.asarray(np.asarray(a_np))
+    res = np.asarray(_xla.syrk_dense(a_dev, aat=aat)).astype(
+        out_dtype, copy=False
+    )
+    if out is not None:
+        res = res + np.asarray(beta, dtype=out_dtype) * np.asarray(out)
+    return res
+
+
+def gram_dense_from_sparse(A, out_dtype, aat=False, out=None,
+                           out_scalar=None, full=False):
+    """Gram of a sparse operand with dense output (syrkd analog).
+
+    ``full=True`` reproduces the reference's syrkd full-matrix behavior
+    before its lower-triangle cleanup (``_gram_matrix.py:164-169``).
+    """
+    beta = 1.0 if out_scalar is None else out_scalar
+    At = A.T
+    first, second = (A, At) if aat else (At, A)
+    res = spgemm_dense(first, second, out_dtype)
+    if not full:
+        res = np.triu(res)
+    if out is not None:
+        res = res + np.asarray(beta, dtype=out_dtype) * np.asarray(out)
+    return res
+
+
+def gram_sparse(A, out_dtype, aat=False):
+    """Gram of a sparse operand with sparse (upper-triangular) output."""
+    At = A.T
+    first, second = (A, At) if aat else (At, A)
+    return spgemm_sparse_arrays(A=first, B=second, out_dtype=out_dtype,
+                                triangular=True)

@@ -1,0 +1,224 @@
+"""PARDISO-compatible direct solver interface.
+
+Reproduces the reference's thin passthrough of the classic 64-slot
+``pt``/``iparm`` state-machine API
+(``/root/reference/sparse_dot_mkl/solvers/_pardiso.py``): ``pardisoinit``
+fills the flag block (zero-based indexing ``iparm[34]``, single-precision
+``iparm[27]``), and ``pardiso`` runs phases — 11 analysis, 22 numeric
+factorization, 33 solve, 13 all, negative to release — mutating ``pt``
+as the opaque factorization handle.
+
+The backing factorization is a dense LU on the device (``lu_factor`` /
+``lu_solve``): sparse direct factorization's pointer-chasing elimination
+tree maps poorly to the MXU, while a densified LU at the sizes this API
+is used for is bandwidth-cheap and numerically identical.  Complex
+systems on backends without native complex support use the real 2n×2n
+embedding [[Re, -Im], [Im, Re]].
+
+Phase semantics asserted by the reference tests
+(``tests/test_pardiso.py``): phase 11 leaves X zero but mutates ``pt``;
+phase 13 solves; ``perm`` is returned untouched (zeros) unless supplied.
+"""
+
+import itertools
+import warnings
+
+import numpy as np
+import scipy.sparse as _sps
+
+import jax
+import jax.numpy as jnp
+
+from .. import formats
+from ..config import config
+from ..ops import _xla
+from ..ops.host import coo_parts
+from .. import backend as _backend
+
+PARDISO_ERRORS = {
+    0: None,
+    -1: "input inconsistent",
+    -2: "not enough memory",
+    -3: "reordering problem",
+    -4: "Zero pivot, numerical factorization or iterative refinement "
+        "problem",
+    -5: "unclassified (internal) error",
+    -6: "reordering failed (matrix types 11 and 13 only)",
+    -7: "diagonal matrix is singular",
+    -8: "32-bit integer overflow problem",
+    -9: "not enough memory for OOC",
+    -10: "error opening OOC files",
+    -11: "read/write error with OOC files",
+    -12: "pardiso_64 called from 32-bit library",
+    -13: "interrupted by the (user-defined) progress function",
+    -15: "internal error",
+}
+
+_REAL_MTYPES = (1, 2, -2, 11)
+_COMPLEX_MTYPES = (3, 4, -4, 6, 13)
+
+# Factorization store: pt[0] holds a key into this registry (the opaque
+# "pointer" role pt plays in MKL).
+_factor_store = {}
+_next_key = itertools.count(1)
+
+
+@jax.jit
+def _lu_factor(a_dense):
+    return jax.scipy.linalg.lu_factor(a_dense)
+
+
+@jax.jit
+def _lu_solve(lu, piv, b):
+    return jax.scipy.linalg.lu_solve((lu, piv), b)
+
+
+def _densify_real_embedding(A_container, n):
+    """Device dense matrix for the system; complex planar storage maps to
+    the real 2n x 2n embedding [[Re, -Im], [Im, Re]]."""
+    if A_container.planar:
+        re_c = A_container.real_view()
+        im_c = A_container.imag_view()
+        rows, cols, vr, m, k = coo_parts(re_c)
+        _, _, vi, _, _ = coo_parts(im_c)
+        re = _xla.densify(rows, cols, vr, (n, n))
+        im = _xla.densify(rows, cols, vi, (n, n))
+        top = jnp.concatenate([re, -im], axis=1)
+        bot = jnp.concatenate([im, re], axis=1)
+        return jnp.concatenate([top, bot], axis=0), True
+    rows, cols, vals, m, k = coo_parts(A_container)
+    return _xla.densify(rows, cols, vals, (n, n)), False
+
+
+def pardisoinit(mtype, iparm=None, single_precision=False):
+    """Initialize ``pt`` and ``iparm`` blocks for the given matrix type;
+    mirrors the reference ``pardisoinit`` (``_pardiso.py:158-223``)."""
+    if mtype not in _REAL_MTYPES + _COMPLEX_MTYPES:
+        raise ValueError(f"mtype {mtype} is not a valid PARDISO mtype")
+
+    pt = np.zeros(64, dtype=np.int64)
+
+    if iparm is None:
+        iparm = np.zeros(64, dtype=np.int32)
+        iparm[0] = 1    # user-supplied iparm values
+        iparm[1] = 2    # fill-reducing ordering (nested dissection analog)
+        iparm[9] = 13   # pivot perturbation 1e-13
+        iparm[10] = 1   # scaling
+        iparm[12] = 1   # matching
+        iparm[17] = -1  # report nnz in factors
+        iparm[18] = -1  # report factorization flops
+        iparm[34] = 1   # zero-based indexing
+
+    if single_precision:
+        iparm[27] = 1
+
+    return pt, iparm
+
+
+def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
+            msglvl=0, X=None, quiet=False):
+    """Direct solve AX = B through the PARDISO phase protocol.
+
+    Returns (X, pt, perm, error); mirrors the reference signature and
+    phase behavior (``_pardiso.py:32-156``).
+    """
+    if not formats.is_csr(A):
+        raise ValueError(f"A must be a CSR matrix; {type(A)} passed")
+    if _sps.issparse(B):
+        raise ValueError(f"B must be a dense array; {type(B)} passed")
+    if A.shape[0] != B.shape[0]:
+        raise ValueError(
+            f"Bad matrix shapes for AX=B solver: A {A.shape} & B {B.shape}"
+        )
+    n = A.shape[0]
+    if A.shape[1] != n:
+        raise ValueError(
+            f"PARDISO requires a square matrix; A is {A.shape}"
+        )
+
+    if B.ndim > 2:
+        raise ValueError("B must be 1- or 2-d")
+
+    if perm is None:
+        perm = np.zeros(n, dtype=config.index_dtype)
+
+    is_complex_mtype = mtype in _COMPLEX_MTYPES
+    if mtype not in _REAL_MTYPES + _COMPLEX_MTYPES:
+        return _fail(B, pt, perm, -1, quiet)
+
+    if X is None:
+        X = np.zeros_like(np.asarray(B))
+
+    phase = int(phase)
+
+    # Release phases
+    if phase < 0:
+        key = int(pt[0])
+        _factor_store.pop(key, None)
+        pt[:] = 0
+        return X, pt, perm, 0
+
+    try:
+        A_container = formats.to_device(A)
+    except ValueError:
+        return _fail(B, pt, perm, -1, quiet)
+
+    key = int(pt[0])
+    state = _factor_store.get(key)
+    if state is None:
+        key = next(_next_key)
+        state = {}
+        _factor_store[key] = state
+        # pt is the opaque handle: nonzero after analysis, as the
+        # reference tests assert.
+        pt[0] = key
+        pt[1] = n
+
+    do_analysis = phase in (11, 12, 13)
+    do_factor = phase in (12, 13, 22, 23)
+    do_solve = phase in (13, 23, 33)
+
+    if do_analysis:
+        state["n"] = n
+        state["structure_nnz"] = A_container.nnz
+
+    if do_factor:
+        a_dense, embedded = _densify_real_embedding(A_container, n)
+        lu, piv = _lu_factor(a_dense)
+        if bool(jnp.any(jnp.isnan(lu))):
+            return _fail(B, pt, perm, -4, quiet)
+        state["lu"] = (lu, piv)
+        state["embedded"] = embedded
+        state["dtype"] = A_container.dtype
+
+    if do_solve:
+        if "lu" not in state:
+            return _fail(B, pt, perm, -1, quiet)
+        lu, piv = state["lu"]
+        b_np = np.asarray(B)
+        b_2d = b_np.reshape(-1, 1) if b_np.ndim == 1 else b_np
+        if state["embedded"]:
+            b_stack = np.concatenate([b_2d.real, b_2d.imag], axis=0)
+            x_stack = np.asarray(
+                _lu_solve(lu, piv, jnp.asarray(b_stack))
+            )
+            x = (x_stack[:n] + 1j * x_stack[n:]).astype(b_np.dtype)
+        elif np.iscomplexobj(b_np) and _backend.supports_native_complex():
+            x = np.asarray(_lu_solve(lu, piv, jnp.asarray(b_2d)))
+        else:
+            x = np.asarray(
+                _lu_solve(lu, piv, jnp.asarray(b_2d.astype(lu.dtype)))
+            )
+        x = x.reshape(b_np.shape).astype(b_np.dtype, copy=False)
+        X[...] = x
+
+    return X, pt, perm, 0
+
+
+def _fail(B, pt, perm, error, quiet):
+    if not quiet and PARDISO_ERRORS.get(error):
+        warnings.warn(
+            f"PARDISO returned error {error}: {PARDISO_ERRORS[error]}",
+            RuntimeWarning,
+        )
+    return np.zeros_like(np.asarray(B)), pt, perm, error

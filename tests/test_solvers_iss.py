@@ -1,0 +1,165 @@
+"""Iterative solver suite (CG / FGMRES) — the reference's RCI protocol
+tests (``tests/test_iss.py``) plus real convergence cases on SPD and
+nonsymmetric systems against direct oracles."""
+
+import unittest
+import warnings
+
+import numpy as np
+import numpy.testing as npt
+import scipy.sparse as sps
+
+from sparse_dot_tpu.interface import (
+    SPARSE_FILL_MODE_UPPER,
+    SPARSE_DIAG_NON_UNIT,
+    SPARSE_MATRIX_TYPE_SYMMETRIC,
+)
+from sparse_dot_tpu.solvers import (
+    CGIterativeSparseSolver,
+    FGMRESIterativeSparseSolver,
+    ConvergenceWarning,
+    cg,
+    fgmres,
+)
+
+# The reference's hand-coded 8-row system (1-based indices as written,
+# so scipy sees an 8x9 matrix) with a zero RHS
+# (``tests/test_iss.py:18-42``).
+test_rhs = np.zeros(8, dtype=float)
+test_matrix_indptr = np.array([0, 1, 5, 8, 10, 12, 15, 17, 18], dtype=int)
+test_matrix_index = np.array(
+    [1, 3, 6, 7, 2, 3, 5, 3, 8, 4, 7, 5, 6, 7, 6, 8, 7, 8], dtype=int
+)
+test_matrix_data = np.array(
+    [7.0, 1.0, 2.0, 7.0, -4.0, 8.0, 2.0, 1.0, 5.0, 7.0, 9.0, 5.0, 1.0,
+     5.0, -1.0, 5.0, 11.0, 5.0],
+    dtype=float,
+)
+test_matrix = sps.csr_matrix(
+    (test_matrix_data, test_matrix_index, test_matrix_indptr)
+)
+test_x0 = np.array([1, 0, 1, 0, 1, 0, 1, 0, 0], dtype=float)
+
+
+def _spd_system(n=50, seed=5):
+    rng = np.random.default_rng(seed)
+    M = sps.random(n, n, density=0.2, random_state=seed, format="csr")
+    A = (M @ M.T + n * sps.identity(n)).tocsr()
+    b = rng.random(n)
+    return A, b
+
+
+class TestSparseSolverCG(unittest.TestCase):
+    def setUp(self):
+        self.mat1 = test_matrix.copy()
+        self.mat2 = test_rhs.copy()
+        self.x0 = test_x0.copy()
+
+    def test_cg_solver_square_perfect(self):
+        mat3 = np.linalg.lstsq(
+            self.mat1.toarray(), test_rhs, rcond=None
+        )[0]
+        with CGIterativeSparseSolver(
+            self.mat1, self.mat2, x=self.x0, verbose=False
+        ) as solver:
+            solver.set_sparse_matrix_descr(
+                SPARSE_MATRIX_TYPE_SYMMETRIC,
+                SPARSE_FILL_MODE_UPPER,
+                SPARSE_DIAG_NON_UNIT,
+            )
+            x = solver.solve()
+        npt.assert_array_equal(test_matrix.toarray(), self.mat1.toarray())
+        npt.assert_array_equal(test_rhs, self.mat2)
+        npt.assert_array_almost_equal(x, mat3)
+
+    def test_cg_wrapper_square_perfect(self):
+        mat3 = np.linalg.lstsq(
+            self.mat1.toarray(), test_rhs, rcond=None
+        )[0]
+        x, code = cg(self.mat1, self.mat2)
+        self.assertEqual(code, 0)
+        npt.assert_array_almost_equal(x, mat3)
+
+    def test_cg_spd_real_system(self):
+        A, b = _spd_system()
+        expect = np.linalg.solve(A.toarray(), b)
+        x, code = cg(A, b, tol=1e-10)
+        self.assertEqual(code, 0)
+        npt.assert_array_almost_equal(x, expect)
+
+    def test_cg_iterator_protocol(self):
+        A, b = _spd_system()
+        with CGIterativeSparseSolver(A, b, r_tol=1e-10) as solver:
+            for status in solver:
+                self.assertEqual(status, 1)
+        npt.assert_array_almost_equal(
+            solver.x, np.linalg.solve(A.toarray(), b)
+        )
+        self.assertEqual(solver.final_code, 0)
+
+    def test_cg_max_iter_warns(self):
+        A, b = _spd_system()
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            with CGIterativeSparseSolver(A, b, max_iter=1,
+                                         r_tol=1e-14) as solver:
+                solver.solve()
+            self.assertTrue(
+                any(issubclass(x.category, ConvergenceWarning) for x in w)
+            )
+
+    def test_cg_guards(self):
+        A, b = _spd_system()
+        with self.assertRaises(ValueError):
+            CGIterativeSparseSolver(A.astype(np.float32), b)
+        with self.assertRaises(ValueError):
+            CGIterativeSparseSolver(A.tocsc(), b)
+        with self.assertRaises(NotImplementedError):
+            cg(A, b, M="precond")
+        with self.assertRaises(NotImplementedError):
+            cg(A, b, callback=lambda x: None)
+
+
+class TestSparseSolverFGMRES(unittest.TestCase):
+    def setUp(self):
+        self.mat1 = test_matrix.copy()
+        self.mat2 = test_rhs.copy()
+        self.x0 = test_x0.copy()
+
+    def test_fgmres_solver_square_perfect(self):
+        mat3 = np.linalg.lstsq(
+            self.mat1.toarray(), test_rhs, rcond=None
+        )[0]
+        with FGMRESIterativeSparseSolver(
+            self.mat1, self.mat2, x=self.x0, verbose=False
+        ) as solver:
+            solver.set_sparse_matrix_descr(
+                SPARSE_MATRIX_TYPE_SYMMETRIC,
+                SPARSE_FILL_MODE_UPPER,
+                SPARSE_DIAG_NON_UNIT,
+            )
+            x = solver.solve()
+        npt.assert_array_almost_equal(x, mat3)
+
+    def test_fgmres_wrapper_square_perfect(self):
+        mat3 = np.linalg.lstsq(
+            self.mat1.toarray(), test_rhs, rcond=None
+        )[0]
+        x, code = fgmres(self.mat1, self.mat2)
+        self.assertEqual(code, 0)
+        npt.assert_array_almost_equal(x, mat3)
+
+    def test_fgmres_nonsymmetric_system(self):
+        n = 40
+        rng = np.random.default_rng(11)
+        A = sps.random(n, n, density=0.3, random_state=12, format="csr")
+        A = (A + n * sps.identity(n)).tocsr()
+        b = rng.random(n)
+        expect = np.linalg.solve(A.toarray(), b)
+        x, code = fgmres(A, b, tol=1e-12)
+        self.assertEqual(code, 0)
+        npt.assert_array_almost_equal(x, expect)
+
+
+if __name__ == "__main__":
+    unittest.main()
