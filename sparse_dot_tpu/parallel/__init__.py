@@ -1,0 +1,22 @@
+from .mesh import make_mesh, device_mesh_info
+from .ops import (
+    ShardedCSR,
+    shard_csr_rows,
+    sharded_spmm,
+    sharded_spmv,
+    sharded_gram,
+    sharded_cg,
+    sharded_spmm_2d,
+)
+
+__all__ = [
+    "make_mesh",
+    "device_mesh_info",
+    "ShardedCSR",
+    "shard_csr_rows",
+    "sharded_spmm",
+    "sharded_spmv",
+    "sharded_gram",
+    "sharded_cg",
+    "sharded_spmm_2d",
+]

@@ -1,0 +1,346 @@
+"""Mesh-sharded sparse ops (SPMD over ICI/DCN).
+
+The scaling layer the reference never had (its parallelism was MKL's
+OpenMP threading in one address space).  Layout strategy per
+``SURVEY.md`` §5/§7:
+
+* 1-D row partition (the SpMM/SpMV default): each device owns a
+  contiguous block of A's rows in padded-COO form; B is replicated;
+  outputs are row-sharded with no communication on the forward op.
+* k-sharded SpMM (``sharded_spmm_2d``): A column-partitioned, B
+  row-partitioned along the contraction axis; local partials are
+  combined with ``psum`` over the mesh axis — the canonical
+  collective-bearing layout.
+* distributed CG: row-sharded matvec + ``all_gather`` to re-replicate,
+  scalar reductions stay replicated.
+
+Shards are padded to uniform nnz (SPMD needs identical shapes per
+device); padded entries carry an out-of-range row id and are dropped by
+the scatter (``mode="drop"``), costing nothing but the pad FLOPs.
+"""
+
+import functools
+
+import numpy as np
+import scipy.sparse as _sps
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from .. import formats
+from ..ops import _xla
+
+
+def _ceil_div(a, b):
+    return -(-a // b)
+
+
+class ShardedCSR:
+    """Row-partitioned CSR in padded expanded-COO form.
+
+    Arrays have a leading shard axis of length S = mesh rows axis size:
+    ``rows``/``cols``/``vals`` are (S, nnz_pad); ``rows`` holds
+    LOCAL row ids with pad entries pointing at ``m_local`` (dropped).
+    """
+
+    def __init__(self, rows, cols, vals, shape, m_local, n_shards):
+        self.rows = rows
+        self.cols = cols
+        self.vals = vals
+        self.shape = tuple(shape)
+        self.m_local = int(m_local)
+        self.n_shards = int(n_shards)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.vals), (
+            self.shape, self.m_local, self.n_shards
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        rows, cols, vals = children
+        shape, m_local, n_shards = aux
+        return cls(rows, cols, vals, shape, m_local, n_shards)
+
+
+jax.tree_util.register_pytree_node(
+    ShardedCSR,
+    lambda s: s.tree_flatten(),
+    ShardedCSR.tree_unflatten,
+)
+
+
+def shard_csr_rows(matrix, n_shards, mesh=None, axis="rows"):
+    """scipy CSR (or convertible) -> ShardedCSR with device placement.
+
+    Rows are split into ``n_shards`` contiguous blocks (padded to a
+    uniform per-shard row count and nnz).
+    """
+    if formats.is_device_sparse(matrix):
+        matrix = matrix.to_scipy().tocsr()
+    elif _sps.issparse(matrix):
+        matrix = matrix.tocsr()
+    else:
+        raise ValueError(f"Expected a sparse matrix, got {type(matrix)}")
+
+    m, k = matrix.shape
+    m_local = _ceil_div(m, n_shards)
+
+    shard_rows, shard_cols, shard_vals = [], [], []
+    nnz_pad = 0
+    chunks = []
+    for s in range(n_shards):
+        lo, hi = s * m_local, min((s + 1) * m_local, m)
+        block = matrix[lo:hi]
+        coo = block.tocoo()
+        chunks.append((coo.row, coo.col, coo.data))
+        nnz_pad = max(nnz_pad, coo.nnz)
+    nnz_pad = max(nnz_pad, 1)
+
+    idx_dt = np.int32
+    for r, c, v in chunks:
+        pad = nnz_pad - r.size
+        shard_rows.append(
+            np.concatenate([r.astype(idx_dt),
+                            np.full(pad, m_local, idx_dt)])
+        )
+        shard_cols.append(
+            np.concatenate([c.astype(idx_dt), np.zeros(pad, idx_dt)])
+        )
+        shard_vals.append(
+            np.concatenate([v, np.zeros(pad, v.dtype)])
+        )
+
+    rows = jnp.asarray(np.stack(shard_rows))
+    cols = jnp.asarray(np.stack(shard_cols))
+    vals = jnp.asarray(np.stack(shard_vals))
+
+    if mesh is not None:
+        spec = jax.sharding.NamedSharding(mesh, P(axis))
+        rows = jax.device_put(rows, spec)
+        cols = jax.device_put(cols, spec)
+        vals = jax.device_put(vals, spec)
+
+    return ShardedCSR(rows, cols, vals, (m, k), m_local, n_shards)
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded SpMM / SpMV (no collective on the forward op)
+# ---------------------------------------------------------------------------
+
+
+def sharded_spmm(mesh, A, b, axis="rows"):
+    """C = A @ b with row-sharded A and replicated b; C is row-sharded.
+
+    Returns the full (padded rows trimmed) device array.
+    """
+    m_local = A.m_local
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def _local(rows, cols, vals, b_rep):
+        return _xla._spmm_scatter_oneshot(
+            rows[0], cols[0], vals[0], b_rep, m_local
+        )[None]
+
+    c = jax.jit(_local)(A.rows, A.cols, A.vals, jnp.asarray(b))
+    return c.reshape(-1, c.shape[-1])[: A.shape[0]]
+
+
+def sharded_spmv(mesh, A, x, axis="rows"):
+    m_local = A.m_local
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def _local(rows, cols, vals, x_rep):
+        return _xla.coo_spmv(rows[0], cols[0], vals[0], x_rep,
+                             m=m_local)[None]
+
+    y = jax.jit(_local)(A.rows, A.cols, A.vals, jnp.asarray(x))
+    return y.reshape(-1)[: A.shape[0]]
+
+
+# ---------------------------------------------------------------------------
+# k-sharded SpMM with psum (the collective-bearing layout)
+# ---------------------------------------------------------------------------
+
+
+def shard_csr_cols(matrix, n_shards, mesh=None, axis="cols"):
+    """Column-partition A along the contraction axis: shard s owns
+    columns [s*k_local, (s+1)*k_local) with LOCAL column ids."""
+    if _sps.issparse(matrix):
+        matrix = matrix.tocsc()
+    m, k = matrix.shape
+    k_local = _ceil_div(k, n_shards)
+
+    chunks = []
+    nnz_pad = 1
+    for s in range(n_shards):
+        lo, hi = s * k_local, min((s + 1) * k_local, k)
+        coo = matrix[:, lo:hi].tocoo()
+        chunks.append((coo.row, coo.col, coo.data))
+        nnz_pad = max(nnz_pad, coo.nnz)
+
+    idx_dt = np.int32
+    rows, cols, vals = [], [], []
+    for r, c, v in chunks:
+        pad = nnz_pad - r.size
+        rows.append(np.concatenate([r.astype(idx_dt),
+                                    np.full(pad, m, idx_dt)]))
+        cols.append(np.concatenate([c.astype(idx_dt),
+                                    np.zeros(pad, idx_dt)]))
+        vals.append(np.concatenate([v, np.zeros(pad, v.dtype)]))
+
+    out = ShardedCSR(
+        jnp.asarray(np.stack(rows)),
+        jnp.asarray(np.stack(cols)),
+        jnp.asarray(np.stack(vals)),
+        (m, k),
+        m,
+        n_shards,
+    )
+    out.k_local = k_local
+    if mesh is not None:
+        spec = jax.sharding.NamedSharding(mesh, P(axis))
+        out.rows = jax.device_put(out.rows, spec)
+        out.cols = jax.device_put(out.cols, spec)
+        out.vals = jax.device_put(out.vals, spec)
+    return out
+
+
+def sharded_spmm_2d(mesh, A_colsharded, b, axis="cols"):
+    """C = A @ b with the contraction axis sharded: device s computes
+    A[:, s-block] @ b[s-block, :] and partials are psum-reduced."""
+    m = A_colsharded.shape[0]
+    k_local = A_colsharded.k_local
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _local(rows, cols, vals, b_block):
+        partial = _xla._spmm_scatter_oneshot(
+            rows[0], cols[0], vals[0], b_block, m
+        )
+        return jax.lax.psum(partial, axis)
+
+    # Pad b's leading dim to n_shards * k_local then shard it.
+    b = jnp.asarray(b)
+    k_pad = A_colsharded.n_shards * k_local
+    if b.shape[0] < k_pad:
+        b = jnp.concatenate(
+            [b, jnp.zeros((k_pad - b.shape[0], b.shape[1]), b.dtype)]
+        )
+    return jax.jit(_local)(
+        A_colsharded.rows, A_colsharded.cols, A_colsharded.vals, b
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded gram and CG
+# ---------------------------------------------------------------------------
+
+
+def sharded_gram(mesh, A, axis="rows"):
+    """AᵀA via row-sharded A: each device computes its rows' outer
+    contribution (Aᵀ_s A_s) and the results are psum-reduced — the
+    distributed syrk."""
+    m_local = A.m_local
+    k = A.shape[1]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _local(rows, cols, vals):
+        a_local = jnp.zeros((m_local, k), vals.dtype).at[
+            rows[0], cols[0]
+        ].add(vals[0], mode="drop")
+        partial = jnp.dot(
+            a_local.T, a_local, precision=jax.lax.Precision.HIGHEST
+        )
+        return jax.lax.psum(partial, axis)
+
+    return jax.jit(_local)(A.rows, A.cols, A.vals)
+
+
+def sharded_cg(mesh, A, b, tol=1e-10, maxiter=1000, axis="rows"):
+    """Distributed CG on a row-sharded SPD matrix: the matvec runs
+    sharded and re-replicates via all_gather inside the jitted
+    while_loop; reductions stay replicated."""
+    m = A.shape[0]
+    m_local = A.m_local
+    n_pad = A.n_shards * m_local
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _matvec(rows, cols, vals, x):
+        y_local = _xla.coo_spmv(rows[0], cols[0], vals[0], x, m=m_local)
+        y = jax.lax.all_gather(y_local, axis)
+        return y.reshape(-1)
+
+    @jax.jit
+    def _solve(rows, cols, vals, b_pad):
+        def mv(x):
+            return _matvec(rows, cols, vals, x)[:m].at[:].get()
+
+        def mv_pad(x):
+            y = mv(x[: m])
+            return jnp.concatenate([y, jnp.zeros(n_pad - m, y.dtype)])
+
+        x0 = jnp.zeros_like(b_pad)
+        r0 = b_pad - mv_pad(x0)
+
+        def cond(state):
+            _, r, _, rs, it = state
+            return jnp.logical_and(
+                jnp.sqrt(rs) > tol, it < maxiter
+            )
+
+        def body(state):
+            x, r, p, rs, it = state
+            ap = mv_pad(p)
+            alpha = rs / jnp.vdot(p, ap)
+            x = x + alpha * p
+            r = r - alpha * ap
+            rs_new = jnp.vdot(r, r)
+            p = r + (rs_new / rs) * p
+            return (x, r, p, rs_new, it + 1)
+
+        state = (x0, r0, r0, jnp.vdot(r0, r0), 0)
+        x, _, _, rs, it = jax.lax.while_loop(cond, body, state)
+        return x, rs, it
+
+    b = np.asarray(b).ravel()
+    b_pad = jnp.concatenate(
+        [jnp.asarray(b), jnp.zeros(n_pad - m, jnp.asarray(b).dtype)]
+    )
+    x, rs, it = _solve(A.rows, A.cols, A.vals, b_pad)
+    return np.asarray(x)[:m], float(jnp.sqrt(rs)), int(it)
