@@ -52,6 +52,9 @@ class _Config:
         # Max number of gathered elements materialized at once by the
         # chunked scatter-add SpMM path (controls memory high-water mark).
         self.spmm_chunk_elements = 1 << 24
+        # Cache host->device transfers keyed by object identity +
+        # content fingerprint (see formats.py).
+        self.device_transfer_cache = True
 
     @property
     def index_dtype(self):

