@@ -40,6 +40,7 @@ from .formats import (
     to_device,
 )
 from .dispatch import dot_product, gram_matrix, sparse_qr_solve
+from .ops.sypr import sypr
 from .solvers import (
     cg,
     fgmres,
@@ -103,6 +104,7 @@ __all__ = [
     # canonical API
     "dot_product",
     "gram_matrix",
+    "sypr",
     "sparse_qr_solve",
     "cg",
     "fgmres",

@@ -92,34 +92,15 @@ def shard_csr_rows(matrix, n_shards, mesh=None, axis="rows"):
     m, k = matrix.shape
     m_local = _ceil_div(m, n_shards)
 
-    shard_rows, shard_cols, shard_vals = [], [], []
-    nnz_pad = 0
-    chunks = []
-    for s in range(n_shards):
-        lo, hi = s * m_local, min((s + 1) * m_local, m)
-        block = matrix[lo:hi]
-        coo = block.tocoo()
-        chunks.append((coo.row, coo.col, coo.data))
-        nnz_pad = max(nnz_pad, coo.nnz)
-    nnz_pad = max(nnz_pad, 1)
+    # One-pass native packing (C++), NumPy fallback inside.
+    from .. import native
 
-    idx_dt = np.int32
-    for r, c, v in chunks:
-        pad = nnz_pad - r.size
-        shard_rows.append(
-            np.concatenate([r.astype(idx_dt),
-                            np.full(pad, m_local, idx_dt)])
-        )
-        shard_cols.append(
-            np.concatenate([c.astype(idx_dt), np.zeros(pad, idx_dt)])
-        )
-        shard_vals.append(
-            np.concatenate([v, np.zeros(pad, v.dtype)])
-        )
-
-    rows = jnp.asarray(np.stack(shard_rows))
-    cols = jnp.asarray(np.stack(shard_cols))
-    vals = jnp.asarray(np.stack(shard_vals))
+    rows_np, cols_np, vals_np = native.csr_shard_rows(
+        matrix.indptr, matrix.indices, matrix.data, m, m_local, n_shards
+    )
+    rows = jnp.asarray(rows_np)
+    cols = jnp.asarray(cols_np)
+    vals = jnp.asarray(vals_np)
 
     if mesh is not None:
         spec = jax.sharding.NamedSharding(mesh, P(axis))

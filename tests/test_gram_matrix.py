@@ -180,3 +180,41 @@ except ImportError:
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestSypr(unittest.TestCase):
+    """Triple-product AᵀBA / ABAᵀ — working version of the reference's
+    dead `_sparse_sypr.py` driver."""
+
+    def setUp(self):
+        self.A = MATRIX_1.copy()
+        m = self.A.shape[0]
+        import scipy.sparse as _s
+        B = _s.random(m, m, density=0.1, format="csr", random_state=7)
+        self.B = (B + B.T).tocsr()
+
+    def test_sypr_atba(self):
+        from sparse_dot_tpu import sypr
+
+        got = sypr(self.A, self.B)
+        ref = self.A.toarray().T @ self.B.toarray() @ self.A.toarray()
+        np_almost_equal(got.toarray(), np.triu(ref))
+
+    def test_sypr_abat(self):
+        from sparse_dot_tpu import sypr
+
+        import scipy.sparse as _s
+        k = self.A.shape[1]
+        B = _s.random(k, k, density=0.1, format="csr", random_state=8)
+        B = (B + B.T).tocsr()
+        got = sypr(self.A, B, transpose=True, dense=True)
+        ref = self.A.toarray() @ B.toarray() @ self.A.toarray().T
+        np_almost_equal(got, np.triu(ref))
+
+    def test_sypr_guards(self):
+        from sparse_dot_tpu import sypr
+
+        with self.assertRaises(ValueError):
+            sypr(self.A.tocoo(), self.B)
+        with self.assertRaises(ValueError):
+            sypr(self.A, self.B, transpose=True)  # shape mismatch
