@@ -26,6 +26,25 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the tunnel/remote TPU compile path is
+# slow (tens of seconds per program), so cache compiled executables
+# across processes.  Opt out with SPARSE_DOT_JAX_CACHE=0 or point the
+# env var at another directory.
+_cache_dir = os.environ.get("SPARSE_DOT_JAX_CACHE", "")
+if _cache_dir != "0":
+    if not _cache_dir:
+        _cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 import jax.numpy as jnp  # noqa: E402
 
 
