@@ -7,6 +7,7 @@ from .ops import (
     sharded_gram,
     sharded_cg,
     sharded_spmm_2d,
+    sharded_cgls,
 )
 
 __all__ = [
@@ -19,4 +20,5 @@ __all__ = [
     "sharded_gram",
     "sharded_cg",
     "sharded_spmm_2d",
+    "sharded_cgls",
 ]

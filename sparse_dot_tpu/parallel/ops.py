@@ -325,3 +325,79 @@ def sharded_cg(mesh, A, b, tol=1e-10, maxiter=1000, axis="rows"):
     )
     x, rs, it = _solve(A.rows, A.cols, A.vals, b_pad)
     return np.asarray(x)[:m], float(jnp.sqrt(rs)), int(it)
+
+
+def sharded_cgls(mesh, A, b, tol=1e-12, maxiter=500, axis="rows"):
+    """Distributed least squares min ||Ax - b|| via CGLS on a
+    row-sharded A: the forward matvec re-replicates with ``all_gather``;
+    the adjoint matvec psum-reduces per-shard partials.  This is the
+    sharded analog of the reference's ``sparse_qr_solve_mkl`` for
+    matrices too large for one chip (BASELINE.md config 5).
+    """
+    m, k = A.shape
+    m_local = A.m_local
+    m_pad = A.n_shards * m_local
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _fwd(rows, cols, vals, x):
+        y_local = _xla.coo_spmv(rows[0], cols[0], vals[0], x, m=m_local)
+        return jax.lax.all_gather(y_local, axis).reshape(-1)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _adj(rows, cols, vals, y_sharded):
+        # swap row/col roles: A_s^T y_s, then sum over shards
+        partial = _xla.coo_spmv(
+            cols[0], rows[0], vals[0], y_sharded[0], m=k
+        )
+        return jax.lax.psum(partial, axis)
+
+    @jax.jit
+    def _solve(rows, cols, vals, b_pad):
+        def fwd(x):
+            return _fwd(rows, cols, vals, x)
+
+        def adj(y):
+            return _adj(rows, cols, vals, y.reshape(A.n_shards, m_local))
+
+        x0 = jnp.zeros((k,), b_pad.dtype)
+        r0 = b_pad - fwd(x0)
+        s0 = adj(r0)
+
+        def cond(state):
+            x, r, p, s_norm2, it = state
+            return jnp.logical_and(jnp.sqrt(s_norm2) > tol, it < maxiter)
+
+        def body(state):
+            x, r, p, s_norm2, it = state
+            q = fwd(p)
+            alpha = s_norm2 / jnp.vdot(q, q)
+            x = x + alpha * p
+            r = r - alpha * q
+            s = adj(r)
+            s_norm2_new = jnp.vdot(s, s)
+            beta = s_norm2_new / s_norm2
+            p = s + beta * p
+            return (x, r, p, s_norm2_new, it + 1)
+
+        state = (x0, r0, s0, jnp.vdot(s0, s0), 0)
+        x, r, _, s2, it = jax.lax.while_loop(cond, body, state)
+        return x, jnp.linalg.norm(r), it
+
+    b = np.asarray(b).ravel()
+    b_pad = jnp.concatenate(
+        [jnp.asarray(b), jnp.zeros(m_pad - m, jnp.asarray(b).dtype)]
+    )
+    x, res, it = _solve(A.rows, A.cols, A.vals, b_pad)
+    return np.asarray(x), float(res), int(it)

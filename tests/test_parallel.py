@@ -73,3 +73,18 @@ class TestShardedOps(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestShardedCGLS(unittest.TestCase):
+    def test_sharded_least_squares(self):
+        from sparse_dot_tpu.parallel import make_mesh, shard_csr_rows, \
+            sharded_cgls
+
+        n_dev = jax.device_count()
+        mesh = make_mesh((n_dev, 1), ("rows", "cols"))
+        A = MATRIX_1.copy().tocsr()[:, :50]
+        b = np.random.default_rng(2).random(A.shape[0])
+        A_sh = shard_csr_rows(A, n_dev, mesh)
+        x, res, iters = sharded_cgls(mesh, A_sh, b, tol=1e-12)
+        expect = np.linalg.lstsq(A.toarray(), b, rcond=None)[0]
+        npt.assert_array_almost_equal(x, expect)
