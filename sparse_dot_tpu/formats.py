@@ -111,6 +111,10 @@ class SparseDeviceMatrix:
         return self._dtype
 
     @property
+    def ndim(self):
+        return 2
+
+    @property
     def nnz(self):
         # CSR/CSC data is (nnz,) or planar (2, nnz); BSR overrides.
         return int(self.data.shape[-1])

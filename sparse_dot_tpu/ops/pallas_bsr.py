@@ -98,10 +98,12 @@ def bsr_spmm_pallas(rowmap, colidx, data, b, m, bs, interpret=False):
     # Zero block-rows with no stored blocks (their tiles were never
     # visited).  One scatter of ones per stored block row.
     nrows = m // bs
-    visited = jnp.zeros((nrows,), jnp.float32).at[rowmap].max(
-        1.0, mode="drop"
+    visited = jnp.zeros((nrows,), jnp.bool_).at[rowmap].set(
+        True, mode="drop"
     )
-    return out * jnp.repeat(visited, bs)[:, None]
+    # where (not *): unvisited tiles hold uninitialized data, possibly
+    # NaN, and NaN * 0 stays NaN.
+    return jnp.where(jnp.repeat(visited, bs)[:, None], out, 0.0)
 
 
 def bsr_spmm_available(A, b_shape, dtype):
