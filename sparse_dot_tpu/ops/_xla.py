@@ -43,15 +43,29 @@ from jax import lax
 HIGHEST = lax.Precision.HIGHEST
 
 
+def _prec(dtype, precision):
+    """Effective matmul precision: callers pass ``precision=None`` to get
+    the per-dtype default — HIGHEST for float32 (3-pass bf16, needed for
+    the reference's decimal=5 tolerance; the single-pass bf16 default is
+    not float32-accurate), plain default for float64 (XLA:TPU's f64
+    emulation is already exact and HIGHEST triggers a far slower
+    lowering) and everything else."""
+    if precision is not None:
+        return precision
+    if jnp.dtype(dtype) == jnp.float32:
+        return HIGHEST
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Dense GEMM / SYRK (MXU)
 # ---------------------------------------------------------------------------
 
 
 @partial(jax.jit, static_argnames=("precision",))
-def gemm(a, b, alpha=1.0, beta=0.0, c0=None, precision=HIGHEST):
+def gemm(a, b, alpha=1.0, beta=0.0, c0=None, precision=None):
     """alpha * (a @ b) + beta * c0 on the MXU (cblas_?gemm analog)."""
-    out = jnp.dot(a, b, precision=precision)
+    out = jnp.dot(a, b, precision=_prec(a.dtype, precision))
     out = out * jnp.asarray(alpha, out.dtype)
     if c0 is not None:
         out = out + jnp.asarray(beta, out.dtype) * c0
@@ -60,11 +74,12 @@ def gemm(a, b, alpha=1.0, beta=0.0, c0=None, precision=HIGHEST):
 
 @partial(jax.jit, static_argnames=("aat", "conj", "precision"))
 def syrk_dense(a, aat=False, conj=False, alpha=1.0, beta=0.0, c0=None,
-               precision=HIGHEST):
+               precision=None):
     """Upper-triangular gram matrix: triu(alpha * op(a) + beta * c0) with
     op(a) = a @ a^H (aat=True) or a^H @ a.  The strict lower triangle is
     beta * c0 (untouched input), matching cblas_?syrk semantics."""
     at = jnp.conj(a.T) if conj else a.T
+    precision = _prec(a.dtype, precision)
     full = jnp.dot(a, at, precision=precision) if aat else jnp.dot(
         at, a, precision=precision
     )
@@ -153,18 +168,18 @@ def densify(rows, cols, vals, shape):
 
 
 @partial(jax.jit, static_argnames=("m", "precision"))
-def spmm_densified(rows, cols, vals, b, m, precision=HIGHEST):
+def spmm_densified(rows, cols, vals, b, m, precision=None):
     """Densify A and multiply on the MXU — the TPU fast path when density
     (or backend scatter cost) makes gather/scatter lose to free FLOPs."""
     a_dense = jnp.zeros((m, b.shape[0]), dtype=vals.dtype).at[
         rows, cols
     ].add(vals, mode="drop")
-    return jnp.dot(a_dense, b, precision=precision)
+    return jnp.dot(a_dense, b, precision=_prec(vals.dtype, precision))
 
 
 def coo_spmm(rows, cols, vals, b, m, k, alpha=1.0, beta=0.0, c0=None,
              densify_ok=True, density=None, chunk_elements=1 << 24,
-             precision=HIGHEST):
+             precision=None):
     """Full SpMM with alpha/beta accumulate and adaptive path selection.
 
     Eager-level entry (jit happens underneath per-path).
@@ -218,7 +233,7 @@ def _apply_out_scalar(c, alpha, beta, c0):
 
 
 @partial(jax.jit, static_argnames=("m", "precision"))
-def bsr_spmm(block_data, block_rows, block_cols, b, m, precision=HIGHEST):
+def bsr_spmm(block_data, block_rows, block_cols, b, m, precision=None):
     """C = A @ b for BSR A.
 
     block_data : (nb, R, C); block_rows/block_cols: (nb,) block coords.
@@ -233,7 +248,7 @@ def bsr_spmm(block_data, block_rows, block_cols, b, m, precision=HIGHEST):
         block_data,
         gathered,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        precision=precision,
+        precision=_prec(block_data.dtype, precision),
     )  # (nb, R, n)
     c_blocked = jnp.zeros((m // R, R, n), dtype=prods.dtype).at[
         block_rows
@@ -286,7 +301,7 @@ def sort_csr_indices(indptr_rows, cols, vals, ncols):
 
 
 def spgemm_dense(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m, k, n,
-                 chunk_elements=1 << 24, precision=HIGHEST):
+                 chunk_elements=1 << 24, precision=None):
     """A @ B with both operands sparse, dense output (spmmd analog).
 
     Densifies the structurally smaller operand and reuses the SpMM kernel;
