@@ -177,46 +177,109 @@ def spmm_densified(rows, cols, vals, b, m, precision=None):
     return jnp.dot(a_dense, b, precision=_prec(vals.dtype, precision))
 
 
+@partial(jax.jit, static_argnames=("m", "use_mxu", "nchunks", "precision"))
+def _spmm_fused(rows, cols, vals, b, m, use_mxu, nchunks=1,
+                precision=None, alpha=None, beta=None, c0=None):
+    """One-dispatch SpMM: path + alpha/beta accumulate fused into a
+    single XLA program (the tunnel's per-dispatch latency dominates
+    multi-call formulations)."""
+    if use_mxu:
+        a_dense = jnp.zeros((m, b.shape[0]), dtype=vals.dtype).at[
+            rows, cols
+        ].add(vals, mode="drop")
+        c = jnp.dot(a_dense, b, precision=_prec(vals.dtype, precision))
+    elif nchunks <= 1:
+        c = _spmm_scatter_oneshot(rows, cols, vals, b, m)
+    else:
+        c = _chunked_body(rows, cols, vals, b, m, nchunks)
+    if alpha is not None:
+        c = c * jnp.asarray(alpha, c.dtype)
+    if c0 is not None:
+        c = c + jnp.asarray(beta, c.dtype) * c0
+    return c
+
+
+def _chunked_body(rows, cols, vals, b, m, nchunks):
+    n = b.shape[1]
+    chunk = rows.shape[0] // nchunks
+    rows_c = rows.reshape(nchunks, chunk)
+    cols_c = cols.reshape(nchunks, chunk)
+    vals_c = vals.reshape(nchunks, chunk)
+
+    def step(c, args):
+        r, k, v = args
+        g = v[:, None] * b[k, :]
+        return c.at[r].add(g, mode="drop"), None
+
+    c0 = jnp.zeros((m, n), dtype=vals.dtype)
+    c, _ = lax.scan(step, c0, (rows_c, cols_c, vals_c))
+    return c
+
+
 def coo_spmm(rows, cols, vals, b, m, k, alpha=1.0, beta=0.0, c0=None,
              densify_ok=True, density=None, chunk_elements=1 << 24,
              precision=None):
-    """Full SpMM with alpha/beta accumulate and adaptive path selection.
-
-    Eager-level entry (jit happens underneath per-path).
-    """
+    """Full SpMM with alpha/beta accumulate and adaptive path selection,
+    compiled as one XLA program."""
     nnz = int(vals.shape[-1])
-    if density is None:
-        density = nnz / max(m * k, 1)
+    n = int(b.shape[1])
+
+    if nnz == 0:
+        c = jnp.zeros((m, n), dtype=jnp.result_type(vals.dtype, b.dtype))
+        if c0 is not None:
+            c = c + jnp.asarray(beta, c.dtype) * c0
+        return c
 
     use_mxu = (
         densify_ok
         and not jnp.iscomplexobj(vals)
-        and _prefer_densify(m, k, int(b.shape[1]), nnz)
+        and _prefer_densify(m, k, n, nnz, vals.dtype)
     )
-    if use_mxu:
-        c = spmm_densified(rows, cols, vals, b, m=m, precision=precision)
-    else:
-        c = coo_spmm_raw(rows, cols, vals, b, m, chunk_elements)
+    nchunks = 1
+    if not use_mxu and nnz * n > chunk_elements:
+        nchunks = max(1, (nnz * n) // chunk_elements)
+        chunk = -(-nnz // nchunks)
+        pad = nchunks * chunk - nnz
+        if pad:
+            rows = jnp.concatenate([rows, jnp.full((pad,), m, rows.dtype)])
+            cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+            vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
 
-    return _apply_out_scalar(c, alpha, beta, c0)
+    trivial_alpha = isinstance(alpha, (int, float)) and alpha == 1.0
+    return _spmm_fused(
+        rows, cols, vals, b, m=m, use_mxu=use_mxu, nchunks=nchunks,
+        precision=precision,
+        alpha=None if trivial_alpha else alpha,
+        beta=beta if c0 is not None else None,
+        c0=c0,
+    )
 
 
-def _prefer_densify(m, k, n, nnz):
-    """Heuristic MXU-vs-scatter crossover.
+def _prefer_densify(m, k, n, nnz, dtype):
+    """Measured-cost MXU-vs-scatter crossover.
 
-    Scatter path traffic ~ nnz * n * (gather + scatter) elements; densify
-    path does m*k*n MXU flops + m*k densify traffic.  On TPU the MXU is so
-    much faster than scatter loops that densify wins unless the matrix is
-    extremely sparse or the dense operand is tiny.
+    TPU (tunnel, v5e) measurements: scatter-SpMM streams ~16 GB/s (f64)
+    / ~27 GB/s (f32) of gather+scatter traffic; densify pays a slow f64
+    scatter (~5.6 M elem/s) or a fast f32 one (~25 M elem/s) plus the
+    dense matmul (~0.3 TF/s f64 emulated, ~5 TF/s f32 conservative).
     """
     from ..backend import default_platform
 
     if default_platform() == "cpu":
         # XLA:CPU scatter is decent and dense flops are not free.
         return nnz / max(m * k, 1) > 0.25
-    scatter_cost = 4.0 * nnz * max(n, 1)
-    dense_cost = m * k * max(n, 1) / 64.0 + m * k
-    return dense_cost < scatter_cost
+
+    bytes_per = jnp.dtype(dtype).itemsize
+    if jnp.dtype(dtype) == jnp.float64:
+        scatter_s = nnz * n * bytes_per * 2 / 16e9
+        densify_s = nnz / 5.6e6 + 2.0 * m * k * n / 0.3e12
+    else:
+        scatter_s = nnz * n * bytes_per * 2 / 27e9
+        densify_s = nnz / 25e6 + 2.0 * m * k * n / 5e12
+    # Dense A must also fit comfortably in HBM.
+    if m * k * bytes_per > 4e9:
+        return False
+    return densify_s < scatter_s
 
 
 @jax.jit
@@ -300,17 +363,44 @@ def sort_csr_indices(indptr_rows, cols, vals, ncols):
 # ---------------------------------------------------------------------------
 
 
-def spgemm_dense(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m, k, n,
-                 chunk_elements=1 << 24, precision=None):
-    """A @ B with both operands sparse, dense output (spmmd analog).
+@partial(
+    jax.jit,
+    static_argnames=("m", "k", "n", "use_mxu", "precision", "with_count"),
+)
+def _spgemm_dense_fused(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals,
+                        m, k, n, use_mxu, precision=None,
+                        with_count=False):
+    """One-dispatch SpGEMM numeric phase: densify B, then either densify
+    A + MXU matmul or gather/scatter, optionally returning the output
+    nonzero count in the same program (saves a dispatch round-trip for
+    the sparse-output sizing sync)."""
+    b_dense = jnp.zeros((k, n), dtype=b_vals.dtype).at[
+        b_rows, b_cols
+    ].add(b_vals, mode="drop")
+    if use_mxu:
+        a_dense = jnp.zeros((m, k), dtype=a_vals.dtype).at[
+            a_rows, a_cols
+        ].add(a_vals, mode="drop")
+        c = jnp.dot(a_dense, b_dense,
+                    precision=_prec(a_vals.dtype, precision))
+    else:
+        c = _spmm_scatter_oneshot(a_rows, a_cols, a_vals, b_dense, m)
+    if with_count:
+        return c, jnp.count_nonzero(c)
+    return c
 
-    Densifies the structurally smaller operand and reuses the SpMM kernel;
-    when both are dense-ish this collapses to a single MXU matmul.
-    """
-    b_dense = densify(b_rows, b_cols, b_vals, (k, n))
-    return coo_spmm(
-        a_rows, a_cols, a_vals, b_dense, m, k,
-        chunk_elements=chunk_elements, precision=precision,
+
+def spgemm_dense(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m, k, n,
+                 chunk_elements=1 << 24, precision=None, with_count=False):
+    """A @ B with both operands sparse, dense output (spmmd analog)."""
+    nnz_a = int(a_vals.shape[-1])
+    use_mxu = not jnp.iscomplexobj(a_vals) and _prefer_densify(
+        m, k, n, nnz_a, a_vals.dtype
+    )
+    return _spgemm_dense_fused(
+        a_rows, a_cols, a_vals, b_rows, b_cols, b_vals,
+        m=m, k=k, n=n, use_mxu=use_mxu, precision=precision,
+        with_count=with_count,
     )
 
 

@@ -133,8 +133,9 @@ def _bilinear_host(A, b_np, one_pass, out_dtype, alpha=1.0,
     if not A.planar and not b_planar:
         # Native path (real everywhere, or backend with native complex).
         res = one_pass(A, ar, jnp.asarray(np.asarray(b_np)), transpose)
-        res = np.asarray(_xla._apply_out_scalar(res, alpha, 0.0, None))
-        res = res.astype(out_dtype, copy=False)
+        res = np.asarray(res).astype(out_dtype, copy=False)
+        if not (isinstance(alpha, (int, float)) and alpha == 1.0):
+            res = res * np.asarray(alpha, dtype=out_dtype)
     else:
         # Planar complex: four (or fewer) real passes.
         rr = one_pass(A, ar, br, transpose)
@@ -252,31 +253,61 @@ def spgemm_dense(A, B, out_dtype, out=None, out_scalar=None):
     return res
 
 
+def _host_extract(dense_np, out_dtype, triangular):
+    """Numpy compaction of a (small) dense product — cheaper than extra
+    device dispatches when the dense result fits a single transfer."""
+    if triangular:
+        dense_np = np.triu(dense_np)
+    mask = dense_np != 0
+    counts = mask.sum(axis=1)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(
+        config.index_dtype
+    )
+    rows, cols = np.nonzero(mask)
+    return (
+        np.ascontiguousarray(dense_np[rows, cols]).astype(
+            out_dtype, copy=False
+        ),
+        cols.astype(config.index_dtype),
+        indptr,
+    )
+
+
+# Dense products at or below this byte size are pulled to the host in one
+# transfer and compacted with numpy; larger products compact on device.
+_HOST_EXTRACT_BYTES = 16 << 20
+
+
 def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
     """A @ B -> (data, indices, indptr) host CSR arrays.
 
-    Two-phase under the hood: numeric dense accumulation on device, then a
-    structural-count host sync (the analog of MKL allocating the output
-    inside ``mkl_sparse_spmm``) and an on-device compaction with a static
-    nnz.  ``triangular=True`` keeps only the upper triangle (syrk).
+    Two-phase under the hood: a one-dispatch numeric phase (dense
+    accumulation fused with the output nonzero count), a structural-count
+    host sync (the analog of MKL allocating the output inside
+    ``mkl_sparse_spmm``), and compaction — numpy for small products, a
+    device cumsum/scatter program for large ones.
+    ``triangular=True`` keeps only the upper triangle (syrk).
     """
-    dense = spgemm_dense(A, B, out_dtype)
-    if triangular:
-        dense = np.triu(dense)
-    if np.iscomplexobj(dense):
-        # Compaction on host for planar/complex results.
-        mask = dense != 0
-        counts = mask.sum(axis=1)
-        indptr = np.concatenate([[0], np.cumsum(counts)]).astype(
-            config.index_dtype
-        )
-        rows, cols = np.nonzero(mask)
-        return dense[rows, cols], cols.astype(config.index_dtype), indptr
+    m, n = A.shape[0], B.shape[1]
+    itemsize = np.dtype(out_dtype).itemsize
 
-    dense_dev = jnp.asarray(dense)
-    nnz = int(_xla.count_nonzero(dense_dev))
+    small = m * n * itemsize <= _HOST_EXTRACT_BYTES
+
+    if A.planar or B.planar or np.dtype(out_dtype).kind == "c" or small:
+        dense = spgemm_dense(A, B, out_dtype)
+        return _host_extract(np.asarray(dense), out_dtype, triangular)
+
+    a_rows, a_cols, a_vals, m_, k_ = coo_parts(A)
+    b_rows, b_cols, b_vals, _, n_ = coo_parts(B)
+    dense_dev, count = _xla.spgemm_dense(
+        a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m_, k_, n_,
+        with_count=True,
+    )
+    if triangular:
+        dense_dev = jnp.triu(dense_dev)
+        count = _xla.count_nonzero(dense_dev)
+    nnz = int(count)
     if nnz == 0:
-        m = dense.shape[0]
         return (
             np.zeros((0,), dtype=out_dtype),
             np.zeros((0,), dtype=config.index_dtype),
