@@ -277,6 +277,82 @@ def _host_extract(dense_np, out_dtype, triangular):
 # transfer and compacted with numpy; larger products compact on device.
 _HOST_EXTRACT_BYTES = 16 << 20
 
+# Above this dense-intermediate size the numeric phase runs in row
+# blocks of A so the O(m*n) buffer never materializes at full height.
+_BLOCKED_SPGEMM_BYTES = 2 << 30
+_SPGEMM_ROW_BLOCK = 4096
+
+
+def _blocked_spgemm_arrays(A, B, out_dtype, triangular):
+    """Row-blocked SpGEMM: for each block of A's rows, run the fused
+    numeric phase against (densified) B and compact, concatenating CSR
+    arrays on the host.  Bounds device memory at
+    row_block x n per block."""
+    A = A if isinstance(A, formats.CSR) else _to_csr(A)
+    m, k = A.shape
+    n = B.shape[1]
+    indptr_np = np.asarray(A.indptr)
+
+    b_rows, b_cols, b_vals, _, _ = coo_parts(B)
+    b_dense = _xla.densify(b_rows, b_cols, b_vals, (k, n))
+
+    block = _SPGEMM_ROW_BLOCK
+    nblocks = -(-m // block)
+    # Pad per-block nnz to the max so every block compiles to one shape.
+    nnz_pad = 1
+    for i in range(nblocks):
+        lo, hi = i * block, min((i + 1) * block, m)
+        nnz_pad = max(nnz_pad, int(indptr_np[hi] - indptr_np[lo]))
+
+    all_vals, all_cols, all_counts = [], [], []
+    rows_full = A.row_indices()
+    for i in range(nblocks):
+        lo, hi = i * block, min((i + 1) * block, m)
+        plo, phi = int(indptr_np[lo]), int(indptr_np[hi])
+        rows_blk = rows_full[plo:phi] - lo
+        cols_blk = A.indices[plo:phi]
+        vals_blk = A.data[plo:phi]
+        pad = nnz_pad - (phi - plo)
+        if pad:
+            rows_blk = jnp.concatenate(
+                [rows_blk, jnp.full((pad,), block, rows_blk.dtype)]
+            )
+            cols_blk = jnp.concatenate(
+                [cols_blk, jnp.zeros((pad,), cols_blk.dtype)]
+            )
+            vals_blk = jnp.concatenate(
+                [vals_blk, jnp.zeros((pad,), vals_blk.dtype)]
+            )
+        dense_blk = _xla._spmm_fused(
+            rows_blk, cols_blk, vals_blk, b_dense, m=block, use_mxu=False
+        )
+        dense_np = np.asarray(dense_blk)[: hi - lo]
+        if triangular:
+            # Global triangle: zero entries below the global diagonal.
+            r_idx = np.arange(lo, hi)[:, None]
+            dense_np = np.where(
+                np.arange(n)[None, :] >= r_idx, dense_np, 0
+            )
+        mask = dense_np != 0
+        r, c = np.nonzero(mask)
+        all_vals.append(dense_np[r, c])
+        all_cols.append(c)
+        all_counts.append(mask.sum(axis=1))
+
+    vals = np.concatenate(all_vals).astype(out_dtype, copy=False)
+    cols = np.concatenate(all_cols).astype(config.index_dtype)
+    counts = np.concatenate(all_counts)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(
+        config.index_dtype
+    )
+    return vals, cols, indptr
+
+
+def _to_csr(container):
+    from ..interface import convert_container_to_csr
+
+    return convert_container_to_csr(container)
+
 
 def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
     """A @ B -> (data, indices, indptr) host CSR arrays.
@@ -292,8 +368,14 @@ def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
     itemsize = np.dtype(out_dtype).itemsize
 
     small = m * n * itemsize <= _HOST_EXTRACT_BYTES
+    is_complex = (
+        A.planar or B.planar or np.dtype(out_dtype).kind == "c"
+    )
 
-    if A.planar or B.planar or np.dtype(out_dtype).kind == "c" or small:
+    if not is_complex and m * n * itemsize > _BLOCKED_SPGEMM_BYTES:
+        return _blocked_spgemm_arrays(A, B, out_dtype, triangular)
+
+    if is_complex or small:
         dense = spgemm_dense(A, B, out_dtype)
         return _host_extract(np.asarray(dense), out_dtype, triangular)
 

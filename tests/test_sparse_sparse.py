@@ -187,3 +187,32 @@ except ImportError:
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestBlockedSpGEMM(unittest.TestCase):
+    """Row-blocked numeric phase for products too large for one dense
+    intermediate — forced small thresholds to exercise the path."""
+
+    def test_blocked_matches_direct(self):
+        from sparse_dot_tpu.ops import host as hops
+
+        old_block, old_thresh = (
+            hops._SPGEMM_ROW_BLOCK, hops._BLOCKED_SPGEMM_BYTES
+        )
+        hops._SPGEMM_ROW_BLOCK = 64
+        hops._BLOCKED_SPGEMM_BYTES = 1024
+        try:
+            m1, m2 = MATRIX_1.copy(), MATRIX_2.copy()
+            res = dot_product_mkl(m1, m2)
+            np_almost_equal(res, m1 @ m2)
+
+            # triangular (gram) through the blocked path
+            from sparse_dot_tpu import gram_matrix_mkl
+
+            g = gram_matrix_mkl(m1)
+            ref = (m1.T @ m1).toarray()
+            ref[np.tril_indices(ref.shape[0], k=-1)] = 0
+            np_almost_equal(g.toarray(), ref)
+        finally:
+            hops._SPGEMM_ROW_BLOCK = old_block
+            hops._BLOCKED_SPGEMM_BYTES = old_thresh
