@@ -354,15 +354,30 @@ def _to_csr(container):
     return convert_container_to_csr(container)
 
 
+# Speculative output-size cache for the device-compaction path: keyed by
+# the operand patterns, validated against the count the numeric program
+# returns in-band.  In steady state (repeated products with the same
+# structure) this removes the sizing round-trip MKL's allocate-inside-
+# spmm implies; a mismatch (values changed the numeric nonzero count)
+# falls back to the exact-size path.
+_spgemm_nnz_cache = {}
+
+
+def _pattern_key(A, B, triangular):
+    return (
+        id(A.indices), id(B.indices), A.shape, B.shape,
+        A.nnz, B.nnz, bool(triangular),
+    )
+
+
 def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
     """A @ B -> (data, indices, indptr) host CSR arrays.
 
     Two-phase under the hood: a one-dispatch numeric phase (dense
-    accumulation fused with the output nonzero count), a structural-count
-    host sync (the analog of MKL allocating the output inside
-    ``mkl_sparse_spmm``), and compaction — numpy for small products, a
-    device cumsum/scatter program for large ones.
-    ``triangular=True`` keeps only the upper triangle (syrk).
+    accumulation fused with the output nonzero count), the structural
+    sizing (cached speculatively, validated in-band), and compaction —
+    numpy for small products, a device cumsum/scatter program for large
+    ones.  ``triangular=True`` keeps only the upper triangle (syrk).
     """
     m, n = A.shape[0], B.shape[1]
     itemsize = np.dtype(out_dtype).itemsize
@@ -388,14 +403,35 @@ def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
     if triangular:
         dense_dev = jnp.triu(dense_dev)
         count = _xla.count_nonzero(dense_dev)
-    nnz = int(count)
+
+    key = _pattern_key(A, B, triangular)
+    nnz = _spgemm_nnz_cache.get(key)
+    if nnz is None:
+        nnz = int(count)  # sizing sync (first call for this pattern)
     if nnz == 0:
+        _spgemm_nnz_cache[key] = 0
         return (
             np.zeros((0,), dtype=out_dtype),
             np.zeros((0,), dtype=config.index_dtype),
             np.zeros((m + 1,), dtype=config.index_dtype),
         )
     vals, cols, indptr = _xla.extract_sparse(dense_dev, nnz=nnz)
+    true_nnz = int(count)  # arrives with the result batch
+    if true_nnz != nnz:
+        # Speculation miss: values changed the nonzero count; redo with
+        # the exact size.
+        _spgemm_nnz_cache[key] = true_nnz
+        if true_nnz == 0:
+            return (
+                np.zeros((0,), dtype=out_dtype),
+                np.zeros((0,), dtype=config.index_dtype),
+                np.zeros((m + 1,), dtype=config.index_dtype),
+            )
+        vals, cols, indptr = _xla.extract_sparse(dense_dev, nnz=true_nnz)
+    else:
+        _spgemm_nnz_cache[key] = nnz
+    if len(_spgemm_nnz_cache) > 256:
+        _spgemm_nnz_cache.clear()
     return (
         np.asarray(vals).astype(out_dtype, copy=False),
         np.asarray(cols).astype(config.index_dtype),
