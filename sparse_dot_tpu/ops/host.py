@@ -106,6 +106,27 @@ def _real_spmm(A, a_data, b_dev, transpose):
         and not transpose
         and A.shape[0] % A.blocksize[0] == 0
     ):
+        if _use_pallas_bsr(A, b_dev):
+            from . import pallas_bsr
+
+            n = b_dev.shape[1]
+            n_pad = -(-n // pallas_bsr.N_PANEL) * pallas_bsr.N_PANEL
+            b_in = b_dev
+            if n_pad != n:
+                b_in = jnp.concatenate(
+                    [b_dev, jnp.zeros((b_dev.shape[0], n_pad - n),
+                                      b_dev.dtype)],
+                    axis=1,
+                )
+            out = pallas_bsr.bsr_spmm_pallas(
+                A.block_row_indices().astype(jnp.int32),
+                A.indices.astype(jnp.int32),
+                a_data,
+                b_in,
+                m=A.shape[0],
+                bs=A.blocksize[0],
+            )
+            return out[:, :n] if n_pad != n else out
         return _xla.bsr_spmm(
             a_data, A.block_row_indices(), A.indices, b_dev, m=A.shape[0]
         )
@@ -113,6 +134,25 @@ def _real_spmm(A, a_data, b_dev, transpose):
     return _xla.coo_spmm(
         rows, cols, vals, b_dev, m, k,
         chunk_elements=config.spmm_chunk_elements,
+    )
+
+
+def _use_pallas_bsr(A, b_dev):
+    """Gate the hand-written Pallas kernel: f32, MXU-aligned square
+    blocks (>=128 so each block matmul saturates the systolic array),
+    real TPU platform."""
+    from ..backend import default_platform
+    from ..config import config as _cfg
+
+    if not getattr(_cfg, "pallas_bsr_enabled", True):
+        return False
+    bs = A.blocksize[0]
+    return (
+        default_platform() != "cpu"
+        and np.dtype(A.dtype) == np.dtype(np.float32)
+        and not A.planar
+        and bs % 128 == 0
+        and A.nblocks > 0
     )
 
 
