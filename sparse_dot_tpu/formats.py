@@ -186,6 +186,47 @@ class SparseDeviceMatrix:
             f"dtype={self.dtype}{' planar' if self.planar else ''}>"
         )
 
+    # -- sorted-flat lowering (densify fast path) ---------------------------
+
+    def _flat_dtype(self):
+        return (
+            jnp.int32
+            if self.shape[0] * self.shape[1] < (1 << 31)
+            else jnp.int64
+        )
+
+    def _build_flat(self):
+        """(flat_indices, col_major, known_sorted) in this format's
+        natural iteration order."""
+        raise NotImplementedError
+
+    def sorted_flat_parts(self, data=None):
+        """Return (flat_sorted, vals_sorted, col_major) for the
+        sorted-unique scatter densify path.
+
+        ``col_major=True`` means the flat index addresses the transposed
+        dense array in row-major order (the natural sorted order of a
+        CSC operand); the consumer absorbs the transpose in its
+        contraction dims.  Unsorted layouts (BSR, unsorted-index CSR)
+        sort once on device and cache the permutation.
+        """
+        data = self.data if data is None else data
+        cache = getattr(self, "_sorted_flat_cache", None)
+        if cache is None:
+            flat, col_major, known_sorted = self._build_flat()
+            if known_sorted:
+                order = None
+            else:
+                order = jnp.argsort(flat)
+                flat = flat[order]
+            cache = (flat, order, col_major)
+            self._sorted_flat_cache = cache
+        flat, order, col_major = cache
+        vals = data.reshape(-1) if data.ndim > 1 else data
+        if order is not None:
+            vals = vals[order]
+        return flat, vals, col_major
+
 
 def _to_device_indices(arr):
     return jnp.asarray(np.asarray(arr, dtype=config.index_dtype))
@@ -208,8 +249,12 @@ class CSR(SparseDeviceMatrix):
         if not _sps.issparse(mat) or mat.format != "csr":
             raise ValueError(f"Expected scipy CSR matrix, got {type(mat)}")
         _check_index_bounds(mat.nnz, mat.shape)
+        if not mat.has_canonical_format:
+            # The sorted-set densify path assumes unique entries.
+            mat = mat.copy()
+            mat.sum_duplicates()
         data, planar = _data_to_device(mat.data)
-        return cls(
+        out = cls(
             data,
             _to_device_indices(mat.indices),
             _to_device_indices(mat.indptr),
@@ -217,6 +262,16 @@ class CSR(SparseDeviceMatrix):
             dtype=mat.dtype,
             planar=planar,
         )
+        out.indices_sorted = bool(mat.has_sorted_indices)
+        return out
+
+    def _build_flat(self):
+        dt = self._flat_dtype()
+        flat = (
+            self.row_indices().astype(dt) * self.shape[1]
+            + self.indices.astype(dt)
+        )
+        return flat, False, getattr(self, "indices_sorted", False)
 
     def to_scipy(self, container=_sps.csr_matrix):
         data = _host_data(self)
@@ -243,6 +298,7 @@ class CSR(SparseDeviceMatrix):
         out.shape = (self.shape[1], self.shape[0])
         out.planar = self.planar
         out._dtype = self._dtype
+        out.indices_sorted = getattr(self, "indices_sorted", False)
         return out
 
 
@@ -255,8 +311,11 @@ class CSC(SparseDeviceMatrix):
         if not _sps.issparse(mat) or mat.format != "csc":
             raise ValueError(f"Expected scipy CSC matrix, got {type(mat)}")
         _check_index_bounds(mat.nnz, mat.shape)
+        if not mat.has_canonical_format:
+            mat = mat.copy()
+            mat.sum_duplicates()
         data, planar = _data_to_device(mat.data)
-        return cls(
+        out = cls(
             data,
             _to_device_indices(mat.indices),
             _to_device_indices(mat.indptr),
@@ -264,6 +323,17 @@ class CSC(SparseDeviceMatrix):
             dtype=mat.dtype,
             planar=planar,
         )
+        out.indices_sorted = bool(mat.has_sorted_indices)
+        return out
+
+    def _build_flat(self):
+        # Column-major flat = row-major flat of the transposed dense.
+        dt = self._flat_dtype()
+        flat = (
+            self.col_indices().astype(dt) * self.shape[0]
+            + self.indices.astype(dt)
+        )
+        return flat, True, getattr(self, "indices_sorted", False)
 
     def to_scipy(self, container=_sps.csc_matrix):
         data = _host_data(self)
@@ -288,6 +358,7 @@ class CSC(SparseDeviceMatrix):
         out.shape = (self.shape[1], self.shape[0])
         out.planar = self.planar
         out._dtype = self._dtype
+        out.indices_sorted = getattr(self, "indices_sorted", False)
         return out
 
 
@@ -359,6 +430,22 @@ class BSR(SparseDeviceMatrix):
             cached = _expand_indptr(self.indptr, self.nblocks)
             self._block_row_indices = cached
         return cached
+
+    def _build_flat(self):
+        dt = self._flat_dtype()
+        R, C = self.blocksize
+        nb = self.nblocks
+        br = self.block_row_indices().astype(dt)
+        bc = self.indices.astype(dt)
+        i = jnp.arange(R, dtype=dt)
+        j = jnp.arange(C, dtype=dt)
+        rows = jnp.broadcast_to(
+            (br[:, None, None] * R + i[None, :, None]), (nb, R, C)
+        ).reshape(-1)
+        cols = jnp.broadcast_to(
+            (bc[:, None, None] * C + j[None, None, :]), (nb, R, C)
+        ).reshape(-1)
+        return rows * self.shape[1] + cols, False, False
 
 
 def _host_data(mat):
@@ -533,8 +620,38 @@ def to_device(mat):
     cached = _cache_get(key, fp)
     if cached is not None:
         return cached
+
+    # Buffer-alias dedup: a scipy transpose view (X.T / X.T.tocsc())
+    # shares X's arrays; reuse the already-transferred container's
+    # zero-cost .T view so e.g. X @ X.T costs one upload and the op
+    # layer can detect the syrk pair.
+    if mat.format in ("csr", "csc"):
+        alias_key = (
+            "bufs",
+            mat.data.ctypes.data,
+            mat.indices.ctypes.data,
+            mat.indptr.ctypes.data,
+            mat.data.dtype.str,
+            int(mat.nnz),
+            np.dtype(config.index_dtype).str,
+        )
+        alias_fp = (_array_fingerprint(mat.data),)
+        hit = _cache_get(alias_key, alias_fp)
+        if hit is not None:
+            h_container, h_format, h_shape = hit
+            if h_format != mat.format and h_shape == mat.shape[::-1]:
+                container = h_container.T
+                _cache_put(key, fp, container)
+                return container
+            if h_format == mat.format and h_shape == mat.shape:
+                _cache_put(key, fp, h_container)
+                return h_container
+
     container = _DEVICE_CLASSES[mat.format].from_scipy(mat)
     _cache_put(key, fp, container)
+    if mat.format in ("csr", "csc"):
+        _cache_put(alias_key, alias_fp,
+                   (container, mat.format, mat.shape))
     return container
 
 

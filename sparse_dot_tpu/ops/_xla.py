@@ -167,6 +167,114 @@ def densify(rows, cols, vals, shape):
     )
 
 
+# ---------------------------------------------------------------------------
+# Sorted-unique scatter machinery (the TPU densify fast path)
+#
+# XLA:TPU runs float64 through the X64 rewriter (every f64 op becomes a
+# pair of 32-bit ops), which makes f64 scatters ~7x slower than f32.
+# For *set* scatters (densify, compaction) we split each f64 value
+# arithmetically into hi/lo float32 halves — exact to ~2^-49 relative,
+# orders of magnitude inside the library's float64 contract — scatter
+# both at f32 speed with sorted/unique index hints, and recombine.
+# ---------------------------------------------------------------------------
+
+
+def sorted_set_scatter(dest, vals, size):
+    """out[dest] = vals with sorted, unique ``dest``; out-of-range
+    destinations dropped.  f64 uses the hi/lo split."""
+    if vals.dtype == jnp.float64:
+        hi = vals.astype(jnp.float32)
+        lo = (vals - hi.astype(jnp.float64)).astype(jnp.float32)
+        hib = jnp.zeros((size,), jnp.float32).at[dest].set(
+            hi, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        lob = jnp.zeros((size,), jnp.float32).at[dest].set(
+            lo, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        return hib.astype(jnp.float64) + lob.astype(jnp.float64)
+    return jnp.zeros((size,), vals.dtype).at[dest].set(
+        vals, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def densify_sorted(flat, vals, shape):
+    """Sorted unique flat indices + values -> dense of ``shape``."""
+    m, n = shape
+    return sorted_set_scatter(flat, vals, m * n).reshape(m, n)
+
+
+def prefix_sum(mask):
+    """Int32 prefix sum of a boolean mask via 128-wide MXU triangular
+    matmuls (XLA's cumsum lowering is log-pass; this is one matmul plus
+    a tiny cumsum over chunk sums).  The f32 chunk arithmetic is exact
+    below 2^24; larger masks fall back to plain cumsum."""
+    n = mask.shape[0]
+    if n >= (1 << 24):
+        return jnp.cumsum(mask.astype(jnp.int32))
+    npad = -(-n // 128) * 128
+    x = mask.astype(jnp.float32)
+    if npad != n:
+        x = jnp.concatenate([x, jnp.zeros((npad - n,), jnp.float32)])
+    x = x.reshape(-1, 128)
+    tri = jnp.tril(jnp.ones((128, 128), jnp.float32))
+    within = lax.dot_general(x, tri, (((1,), (1,)), ((), ())))
+    sums = within[:, -1]
+    offsets = jnp.cumsum(sums) - sums
+    return (
+        (within + offsets[:, None]).reshape(-1)[:n].astype(jnp.int32)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m", "k", "n", "a_cm", "b_cm", "syrk", "with_count",
+                     "precision"),
+)
+def spgemm_numeric_sorted(a_flat, a_vals, b_flat, b_vals, m, k, n,
+                          a_cm=False, b_cm=False, syrk=False,
+                          precision=None, with_count=False):
+    """One-dispatch SpGEMM numeric phase over sorted-flat operands.
+
+    ``a_cm``/``b_cm`` say the flat index is column-major (the natural
+    sorted order of a CSC operand): the operand is densified
+    *transposed* and the contraction dimensions absorb the transpose —
+    no data movement.  ``syrk=True`` computes A @ A^T from a single
+    densify (the X @ X.T / gram fast path).
+    """
+    a_dense = densify_sorted(a_flat, a_vals, (k, m) if a_cm else (m, k))
+    a_dim = 0 if a_cm else 1
+
+    if syrk:
+        c = lax.dot_general(
+            a_dense, a_dense, (((a_dim,), (a_dim,)), ((), ())),
+            precision=_prec(a_vals.dtype, precision),
+        )
+    else:
+        b_dense = densify_sorted(
+            b_flat, b_vals, (n, k) if b_cm else (k, n)
+        )
+        b_dim = 1 if b_cm else 0
+        c = lax.dot_general(
+            a_dense, b_dense, (((a_dim,), (b_dim,)), ((), ())),
+            precision=_prec(a_vals.dtype, precision),
+        )
+    if with_count:
+        return c, jnp.count_nonzero(c)
+    return c
+
+
+@partial(jax.jit, static_argnames=("m", "k", "a_cm", "precision"))
+def spmm_densified_sorted(flat, vals, b, m, k, a_cm=False, precision=None):
+    """SpMM fast path: sorted-flat densify (hi/lo split for f64) + MXU
+    matmul; ``a_cm`` densifies the transpose and contracts dim 0."""
+    a_dense = densify_sorted(flat, vals, (k, m) if a_cm else (m, k))
+    return lax.dot_general(
+        a_dense, b, (((0 if a_cm else 1,), (0,)), ((), ())),
+        precision=_prec(vals.dtype, precision),
+    )
+
+
 @partial(jax.jit, static_argnames=("m", "precision"))
 def spmm_densified(rows, cols, vals, b, m, precision=None):
     """Densify A and multiply on the MXU — the TPU fast path when density
@@ -272,10 +380,11 @@ def _prefer_densify(m, k, n, nnz, dtype):
     bytes_per = jnp.dtype(dtype).itemsize
     if jnp.dtype(dtype) == jnp.float64:
         scatter_s = nnz * n * bytes_per * 2 / 16e9
-        densify_s = nnz / 5.6e6 + 2.0 * m * k * n / 0.3e12
+        # hi/lo-split sorted-set densify runs at f32 scatter speed
+        densify_s = nnz / 5e7 + m * k / 2e9 + 2.0 * m * k * n / 0.4e12
     else:
         scatter_s = nnz * n * bytes_per * 2 / 27e9
-        densify_s = nnz / 25e6 + 2.0 * m * k * n / 5e12
+        densify_s = nnz / 8e7 + m * k / 4e9 + 2.0 * m * k * n / 5e12
     # Dense A must also fit comfortably in HBM.
     if m * k * bytes_per > 4e9:
         return False
@@ -408,27 +517,25 @@ def spgemm_dense(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m, k, n,
 def extract_sparse(c_dense, nnz):
     """Dense -> CSR arrays with exactly ``nnz`` structural nonzeros.
 
-    ``nnz`` must equal the true count (obtained via ``count_nonzero`` with
-    a host sync — the same sync MKL's allocate-inside-spmm implies).
-    Compaction is a cumsum over the flattened mask + one scatter (TPU
-    lowers ``jnp.nonzero``'s sort badly; this is pure streaming work).
-    Row-major order yields sorted column indices per row.
+    ``nnz`` must equal the true count (obtained via ``count_nonzero``,
+    or the speculative size cache — see ``ops.host``).  Compaction:
+    MXU-matmul prefix sum over the flattened mask + sorted-unique
+    scatters (hi/lo-split for f64).  Row-major order yields sorted
+    column indices per row.
     """
     m, n = c_dense.shape
     flat = c_dense.reshape(-1)
     mask = flat != 0
     # Destination slot for every nonzero; masked-off elements scatter to
     # index nnz which is dropped.
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    pos = prefix_sum(mask) - 1
     dest = jnp.where(mask, pos, nnz)
-    vals = jnp.zeros((nnz,), flat.dtype).at[dest].set(
-        flat, mode="drop"
-    )
+    vals = sorted_set_scatter(dest, flat, nnz)
     col_of = (
         jax.lax.broadcasted_iota(jnp.int32, (m, n), 1).reshape(-1)
     )
     cols = jnp.zeros((nnz,), jnp.int32).at[dest].set(
-        col_of, mode="drop"
+        col_of, mode="drop", unique_indices=True, indices_are_sorted=True
     )
     row_counts = jnp.sum(
         mask.reshape(m, n).astype(jnp.int32), axis=1

@@ -100,7 +100,12 @@ def _combine_planar(re_np, im_np, dtype):
 
 
 def _real_spmm(A, a_data, b_dev, transpose):
-    """One real SpMM pass: returns a device (m, n) array."""
+    """One real SpMM pass: returns a device (m, n) array.
+
+    Path choice (TPU): Pallas block kernel for MXU-aligned BSR, then the
+    measured-cost crossover between sorted-flat densify + MXU matmul and
+    the gather/scatter kernel.
+    """
     if (
         isinstance(A, formats.BSR)
         and not transpose
@@ -130,10 +135,28 @@ def _real_spmm(A, a_data, b_dev, transpose):
         return _xla.bsr_spmm(
             a_data, A.block_row_indices(), A.indices, b_dev, m=A.shape[0]
         )
+
+    m, k = A.shape
+    if transpose:
+        m, k = k, m
+    n = int(b_dev.shape[1])
+    nnz = int(a_data.reshape(-1).shape[0])
+
+    if not jnp.iscomplexobj(a_data) and _xla._prefer_densify(
+        m, k, n, nnz, a_data.dtype
+    ):
+        flat, vals, cm = A.sorted_flat_parts(a_data)
+        # transpose flips which dense orientation the flat addresses
+        a_cm = bool(cm) != bool(transpose)
+        return _xla.spmm_densified_sorted(
+            flat, vals, b_dev, m=m, k=k, a_cm=a_cm
+        )
+
     rows, cols, vals, m, k = coo_parts(A, data=a_data, transpose=transpose)
     return _xla.coo_spmm(
         rows, cols, vals, b_dev, m, k,
         chunk_elements=config.spmm_chunk_elements,
+        densify_ok=False,
     )
 
 
@@ -253,12 +276,33 @@ def gemm(a_np, b_np, out_dtype, alpha=1.0, out=None, out_scalar=None):
 # ---------------------------------------------------------------------------
 
 
-def _spgemm_dense_real(A, a_data, B, b_data):
-    a_rows, a_cols, a_vals, m, k = coo_parts(A, data=a_data)
-    b_rows, b_cols, b_vals, k2, n = coo_parts(B, data=b_data)
-    return _xla.spgemm_dense(
-        a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m, k, n,
-        chunk_elements=config.spmm_chunk_elements,
+def _is_syrk_pair(A, B, a_data, b_data):
+    """True when B is the zero-cost transpose view of A (same device
+    buffers, transposed shape, CSR<->CSC): C = A @ A^T needs only one
+    densify — the X @ X.T / gram fast path."""
+    return (
+        b_data is a_data
+        and B.indices is A.indices
+        and B.indptr is A.indptr
+        and B.shape == (A.shape[1], A.shape[0])
+        and not isinstance(A, formats.BSR)
+        and type(B) is not type(A)
+    )
+
+
+def _spgemm_dense_real(A, a_data, B, b_data, with_count=False):
+    m, k = A.shape
+    n = B.shape[1]
+    a_flat, a_vals, a_cm = A.sorted_flat_parts(a_data)
+    if _is_syrk_pair(A, B, a_data, b_data):
+        return _xla.spgemm_numeric_sorted(
+            a_flat, a_vals, None, None, m=m, k=k, n=n,
+            a_cm=a_cm, syrk=True, with_count=with_count,
+        )
+    b_flat, b_vals, b_cm = B.sorted_flat_parts(b_data)
+    return _xla.spgemm_numeric_sorted(
+        a_flat, a_vals, b_flat, b_vals, m=m, k=k, n=n,
+        a_cm=a_cm, b_cm=b_cm, with_count=with_count,
     )
 
 
@@ -434,11 +478,8 @@ def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
         dense = spgemm_dense(A, B, out_dtype)
         return _host_extract(np.asarray(dense), out_dtype, triangular)
 
-    a_rows, a_cols, a_vals, m_, k_ = coo_parts(A)
-    b_rows, b_cols, b_vals, _, n_ = coo_parts(B)
-    dense_dev, count = _xla.spgemm_dense(
-        a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m_, k_, n_,
-        with_count=True,
+    dense_dev, count = _spgemm_dense_real(
+        A, A.data, B, B.data, with_count=True
     )
     if triangular:
         dense_dev = jnp.triu(dense_dev)
