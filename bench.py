@@ -100,9 +100,11 @@ def main():
 
     numeric_ms = _pipelined(numeric, sync)
 
-    # --- gram (A A^T upper-tri, syrk analog) --------------------------
-    gram_ms = _median(
-        lambda: hops.gram_sparse(A, np.float64, aat=True), reps=5
+    # --- gram (A A^T upper-tri, syrk analog), device-resident ---------
+    gram_ms = _pipelined(
+        lambda: hops.spgemm_device(A, B, triangular=True,
+                                   sync_check=False),
+        sync, reps=10,
     )
 
     # --- scipy-in / scipy-out end-to-end (warm transfer cache) --------

@@ -381,10 +381,10 @@ def _prefer_densify(m, k, n, nnz, dtype):
     if jnp.dtype(dtype) == jnp.float64:
         scatter_s = nnz * n * bytes_per * 2 / 16e9
         # hi/lo-split sorted-set densify runs at f32 scatter speed
-        densify_s = nnz / 5e7 + m * k / 2e9 + 2.0 * m * k * n / 0.4e12
+        densify_s = nnz / 5e7 + m * k / 20e9 + 2.0 * m * k * n / 0.4e12
     else:
         scatter_s = nnz * n * bytes_per * 2 / 27e9
-        densify_s = nnz / 8e7 + m * k / 4e9 + 2.0 * m * k * n / 5e12
+        densify_s = nnz / 8e7 + m * k / 40e9 + 2.0 * m * k * n / 5e12
     # Dense A must also fit comfortably in HBM.
     if m * k * bytes_per > 4e9:
         return False

@@ -496,10 +496,17 @@ import collections as _coll
 _pending_checks = _coll.deque()
 
 
-def _drain_checks(keep_newest=1):
-    while len(_pending_checks) > keep_newest:
-        count_dev, used, key = _pending_checks.popleft()
-        true = int(count_dev)
+def _drain_checks(max_pending=8):
+    """Validate queued speculation checks in one batched readback (a
+    single host round-trip amortized over up to ``max_pending`` ops)."""
+    if len(_pending_checks) <= max_pending:
+        return
+    items = []
+    while len(_pending_checks) > 1:  # keep the newest in flight
+        items.append(_pending_checks.popleft())
+    counts = np.asarray(jnp.stack([c for c, _, _ in items]))
+    for (count_dev, used, key), true in zip(items, counts):
+        true = int(true)
         if true != used:
             _spgemm_nnz_cache[key] = true
             raise RuntimeError(
@@ -526,7 +533,7 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
     if out_dtype is None:
         out_dtype = _odt(A, B)
 
-    _drain_checks(keep_newest=1)
+    _drain_checks()
 
     dense_dev, count = _spgemm_dense_real(
         A, A.data, B, B.data, with_count=True
