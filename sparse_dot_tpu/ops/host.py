@@ -496,17 +496,14 @@ import collections as _coll
 _pending_checks = _coll.deque()
 
 
-def _drain_checks(max_pending=8):
-    """Validate queued speculation checks in one batched readback (a
-    single host round-trip amortized over up to ``max_pending`` ops)."""
-    if len(_pending_checks) <= max_pending:
-        return
-    items = []
-    while len(_pending_checks) > 1:  # keep the newest in flight
-        items.append(_pending_checks.popleft())
-    counts = np.asarray(jnp.stack([c for c, _, _ in items]))
-    for (count_dev, used, key), true in zip(items, counts):
-        true = int(true)
+def _drain_checks(keep_newest=1):
+    """Validate queued speculation checks.  Each queued count was
+    prefetched with ``copy_to_host_async`` when its op was issued, so by
+    the time the next op drains it the value is host-resident and the
+    read does not stall the pipeline."""
+    while len(_pending_checks) > keep_newest:
+        count_dev, used, key = _pending_checks.popleft()
+        true = int(count_dev)
         if true != used:
             _spgemm_nnz_cache[key] = true
             raise RuntimeError(
@@ -574,6 +571,10 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         else:
             _spgemm_nnz_cache[key] = nnz
     else:
+        try:
+            count.copy_to_host_async()
+        except Exception:
+            pass
         _pending_checks.append((count, nnz, key))
 
     if len(_spgemm_nnz_cache) > 256:
