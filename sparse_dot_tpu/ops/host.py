@@ -496,7 +496,7 @@ import collections as _coll
 _pending_checks = _coll.deque()
 
 
-def _drain_checks(keep_newest=1):
+def _drain_checks(keep_newest=2):
     """Validate queued speculation checks.  Each queued count was
     prefetched with ``copy_to_host_async`` when its op was issued, so by
     the time the next op drains it the value is host-resident and the
