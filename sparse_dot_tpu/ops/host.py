@@ -21,6 +21,7 @@ all handle lifecycle, which does not exist here.
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .. import formats
@@ -486,32 +487,54 @@ def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
     )
 
 
-# Deferred speculation checks: (count_device, nnz_used, key) tuples
-# whose validation is read back lazily so steady-state device pipelines
-# carry no per-op host sync (async-error semantics, like CUDA: a sizing
-# miss surfaces as a RuntimeError on a LATER call; the scipy-facing path
-# always validates synchronously before returning).
-import collections as _coll
+# Deferred speculation checks (async-error semantics, like CUDA): the
+# mismatch predicate of every deferred op is OR-merged into a single
+# device-resident flag, so steady-state pipelines carry zero per-op host
+# syncs; the flag is read back once every ``_CHECK_EVERY`` ops (or via
+# :func:`validate_speculation`) and a sizing miss surfaces as a
+# RuntimeError there.  The scipy-facing path always validates
+# synchronously before returning.
 
-_pending_checks = _coll.deque()
+_CHECK_EVERY = 32
+_check_state = {"bad": None, "ops": 0}
 
 
-def _drain_checks(keep_newest=2):
-    """Validate queued speculation checks.  Each queued count was
-    prefetched with ``copy_to_host_async`` when its op was issued, so by
-    the time the next op drains it the value is host-resident and the
-    read does not stall the pipeline."""
-    while len(_pending_checks) > keep_newest:
-        count_dev, used, key = _pending_checks.popleft()
-        true = int(count_dev)
-        if true != used:
-            _spgemm_nnz_cache[key] = true
-            raise RuntimeError(
-                "sparse_dot_tpu: a deferred speculative SpGEMM sizing "
-                "check failed — an earlier device-resident product had "
-                f"{true} nonzeros, not the speculated {used}; re-run "
-                "that product (its pattern cache entry is corrected)."
-            )
+@jax.jit
+def _merge_check(bad, count, spec):
+    return bad | (count != spec)
+
+
+def _note_check(count, nnz):
+    bad = _check_state["bad"]
+    if bad is None:
+        bad = jnp.zeros((), jnp.bool_)
+    _check_state["bad"] = _merge_check(bad, count,
+                                       jnp.asarray(nnz, count.dtype))
+    _check_state["ops"] += 1
+    if _check_state["ops"] >= _CHECK_EVERY:
+        validate_speculation()
+
+
+def validate_speculation():
+    """Read back the merged deferred-sizing flag; raises if any deferred
+    device-resident product used a stale speculative size (its result
+    was wrong — clear caches and re-run with ``sync_check=True``)."""
+    bad = _check_state["bad"]
+    _check_state["bad"] = None
+    _check_state["ops"] = 0
+    if bad is not None and bool(bad):
+        _spgemm_nnz_cache.clear()
+        raise RuntimeError(
+            "sparse_dot_tpu: a deferred speculative SpGEMM sizing check "
+            "failed — a device-resident product in the last "
+            f"{_CHECK_EVERY} ops used a stale size; the sizing cache was "
+            "cleared, re-run those products (or use sync_check=True)."
+        )
+
+
+def _drain_checks(keep_newest=None):
+    """Compatibility shim: periodic validation happens in _note_check."""
+    return
 
 
 def spgemm_device(A, B, out_dtype=None, triangular=False,
@@ -529,8 +552,6 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
     m, n = A.shape[0], B.shape[1]
     if out_dtype is None:
         out_dtype = _odt(A, B)
-
-    _drain_checks()
 
     dense_dev, count = _spgemm_dense_real(
         A, A.data, B, B.data, with_count=True
@@ -571,11 +592,7 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         else:
             _spgemm_nnz_cache[key] = nnz
     else:
-        try:
-            count.copy_to_host_async()
-        except Exception:
-            pass
-        _pending_checks.append((count, nnz, key))
+        _note_check(count, nnz)
 
     if len(_spgemm_nnz_cache) > 256:
         _spgemm_nnz_cache.clear()
