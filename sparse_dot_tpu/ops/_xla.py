@@ -514,6 +514,17 @@ def spgemm_dense(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m, k, n,
 
 
 @partial(jax.jit, static_argnames=("nnz",))
+def extract_sparse_checked(c_dense, count, prev_bad, nnz):
+    """``extract_sparse`` plus in-program speculation validation: merges
+    ``count != nnz`` into the running ``prev_bad`` flag so deferred
+    pipelines carry their own correctness audit with zero extra
+    dispatches."""
+    vals, cols, indptr = _extract_sparse_impl(c_dense, nnz)
+    bad = prev_bad | (count != jnp.asarray(nnz, count.dtype))
+    return vals, cols, indptr, bad
+
+
+@partial(jax.jit, static_argnames=("nnz",))
 def extract_sparse(c_dense, nnz):
     """Dense -> CSR arrays with exactly ``nnz`` structural nonzeros.
 
@@ -523,6 +534,10 @@ def extract_sparse(c_dense, nnz):
     scatters (hi/lo-split for f64).  Row-major order yields sorted
     column indices per row.
     """
+    return _extract_sparse_impl(c_dense, nnz)
+
+
+def _extract_sparse_impl(c_dense, nnz):
     m, n = c_dense.shape
     flat = c_dense.reshape(-1)
     mask = flat != 0

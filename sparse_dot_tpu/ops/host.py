@@ -499,22 +499,6 @@ _CHECK_EVERY = 32
 _check_state = {"bad": None, "ops": 0}
 
 
-@jax.jit
-def _merge_check(bad, count, spec):
-    return bad | (count != spec)
-
-
-def _note_check(count, nnz):
-    bad = _check_state["bad"]
-    if bad is None:
-        bad = jnp.zeros((), jnp.bool_)
-    _check_state["bad"] = _merge_check(bad, count,
-                                       jnp.asarray(nnz, count.dtype))
-    _check_state["ops"] += 1
-    if _check_state["ops"] >= _CHECK_EVERY:
-        validate_speculation()
-
-
 def validate_speculation():
     """Read back the merged deferred-sizing flag; raises if any deferred
     device-resident product used a stale speculative size (its result
@@ -578,9 +562,8 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         _spgemm_nnz_cache[key] = 0
         return _empty()
 
-    vals, cols, indptr = _xla.extract_sparse(dense_dev, nnz=nnz)
-
     if sync_check:
+        vals, cols, indptr = _xla.extract_sparse(dense_dev, nnz=nnz)
         true_nnz = int(count)
         if true_nnz != nnz:
             _spgemm_nnz_cache[key] = true_nnz
@@ -592,7 +575,16 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         else:
             _spgemm_nnz_cache[key] = nnz
     else:
-        _note_check(count, nnz)
+        bad = _check_state["bad"]
+        if bad is None:
+            bad = jnp.zeros((), jnp.bool_)
+        vals, cols, indptr, bad = _xla.extract_sparse_checked(
+            dense_dev, count, bad, nnz=nnz
+        )
+        _check_state["bad"] = bad
+        _check_state["ops"] += 1
+        if _check_state["ops"] >= _CHECK_EVERY:
+            validate_speculation()
 
     if len(_spgemm_nnz_cache) > 256:
         _spgemm_nnz_cache.clear()
