@@ -548,6 +548,7 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
     nnz = _spgemm_nnz_cache.get(key)
     if nnz is None:
         nnz = int(count)  # sizing sync (first call for this pattern)
+        _spgemm_nnz_cache[key] = nnz
 
     def _empty():
         return formats.CSR(
