@@ -55,6 +55,9 @@ class _Config:
         # Cache host->device transfers keyed by object identity +
         # content fingerprint (see formats.py).
         self.device_transfer_cache = True
+        # Hand-written Pallas block-sparse kernel (auto-disabled when
+        # the runtime cannot compile scalar-prefetch kernels).
+        self.pallas_bsr_enabled = True
 
     @property
     def index_dtype(self):

@@ -114,6 +114,7 @@ def _real_spmm(A, a_data, b_dev, transpose):
     ):
         if _use_pallas_bsr(A, b_dev):
             from . import pallas_bsr
+            from ..config import config as _cfg
 
             n = b_dev.shape[1]
             n_pad = -(-n // pallas_bsr.N_PANEL) * pallas_bsr.N_PANEL
@@ -124,15 +125,21 @@ def _real_spmm(A, a_data, b_dev, transpose):
                                       b_dev.dtype)],
                     axis=1,
                 )
-            out = pallas_bsr.bsr_spmm_pallas(
-                A.block_row_indices().astype(jnp.int32),
-                A.indices.astype(jnp.int32),
-                a_data,
-                b_in,
-                m=A.shape[0],
-                bs=A.blocksize[0],
-            )
-            return out[:, :n] if n_pad != n else out
+            try:
+                out = pallas_bsr.bsr_spmm_pallas(
+                    A.block_row_indices().astype(jnp.int32),
+                    A.indices.astype(jnp.int32),
+                    a_data,
+                    b_in,
+                    m=A.shape[0],
+                    bs=A.blocksize[0],
+                )
+                return out[:, :n] if n_pad != n else out
+            except Exception:
+                # Some runtimes (e.g. the dev tunnel's AOT helper) cannot
+                # compile scalar-prefetch kernels; fall back to the
+                # batched-matmul path and stop retrying.
+                _cfg.pallas_bsr_enabled = False
         return _xla.bsr_spmm(
             a_data, A.block_row_indices(), A.indices, b_dev, m=A.shape[0]
         )
