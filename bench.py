@@ -132,6 +132,16 @@ def main():
         lambda: hops._real_spmm(Af, Af.data, bf, False), sync, reps=5
     )
 
+    # f32 SpGEMM (the MXU-native dtype) on the headline workload
+    Xf = X.astype(np.float32)
+    XTf = Xf.T.tocsc()
+    Af32 = formats.to_device(Xf)
+    Bf32 = formats.to_device(XTf)
+    spgemm32_ms = _pipelined(
+        lambda: hops.spgemm_device(Af32, Bf32, sync_check=False), sync,
+        reps=10,
+    )
+
     result = {
         "metric": "spgemm_xxt_500x5000_f64",
         "value": round(spgemm_ms, 3),
@@ -146,6 +156,7 @@ def main():
             "spmm_10k_1pct_f64_n128_ms": round(spmm_ms, 3),
             "spmm_f64_gflops": round(spmm_gflops, 2),
             "spmm_10k_1pct_f32_n128_ms": round(spmm32_ms, 3),
+            "spgemm_xxt_f32_ms": round(spgemm32_ms, 3),
             "vs_scipy_spgemm": round(SCIPY_SPGEMM_MS / spgemm_ms, 3),
             "max_abs_err": err,
         },

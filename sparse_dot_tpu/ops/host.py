@@ -496,11 +496,11 @@ def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
 
 # Deferred speculation checks (async-error semantics, like CUDA): the
 # mismatch predicate of every deferred op is OR-merged into a single
-# device-resident flag, so steady-state pipelines carry zero per-op host
-# syncs; the flag is read back once every ``_CHECK_EVERY`` ops (or via
-# :func:`validate_speculation`) and a sizing miss surfaces as a
-# RuntimeError there.  The scipy-facing path always validates
-# synchronously before returning.
+# device-resident flag inside the extraction program, so steady-state
+# pipelines carry zero per-op host syncs; the flag is read back once
+# every ``_CHECK_EVERY`` ops (or via :func:`validate_speculation`) and a
+# sizing miss surfaces as a RuntimeError there.  The scipy-facing path
+# always validates synchronously before returning.
 
 _CHECK_EVERY = 32
 _check_state = {"bad": None, "ops": 0}
@@ -521,11 +521,6 @@ def validate_speculation():
             f"{_CHECK_EVERY} ops used a stale size; the sizing cache was "
             "cleared, re-run those products (or use sync_check=True)."
         )
-
-
-def _drain_checks(keep_newest=None):
-    """Compatibility shim: periodic validation happens in _note_check."""
-    return
 
 
 def spgemm_device(A, B, out_dtype=None, triangular=False,
