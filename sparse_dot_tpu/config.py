@@ -58,6 +58,11 @@ class _Config:
         # Hand-written Pallas block-sparse kernel (auto-disabled when
         # the runtime cannot compile scalar-prefetch kernels).
         self.pallas_bsr_enabled = True
+        # Ozaki-scheme f64 matmul (exact bf16 slice products on the
+        # MXU instead of XLA's ~0.4 TF/s f64 emulation): "auto" enables
+        # it on accelerator backends for large matmuls, "1"/"always"
+        # forces it everywhere (tests), "0"/"never" disables.
+        self.ozaki = os.environ.get("SPARSE_DOT_OZAKI", "auto")
 
     @property
     def index_dtype(self):

@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import ozaki as _ozaki
+
 HIGHEST = lax.Precision.HIGHEST
 
 
@@ -62,32 +64,61 @@ def _prec(dtype, precision):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("precision",))
-def gemm(a, b, alpha=1.0, beta=0.0, c0=None, precision=None):
-    """alpha * (a @ b) + beta * c0 on the MXU (cblas_?gemm analog)."""
-    out = jnp.dot(a, b, precision=_prec(a.dtype, precision))
+@partial(jax.jit, static_argnames=("precision", "use_ozaki"))
+def _gemm_jit(a, b, alpha=1.0, beta=0.0, c0=None, precision=None,
+              use_ozaki=False):
+    if use_ozaki:
+        out = _ozaki.matmul_f64(a, b)
+    else:
+        out = jnp.dot(a, b, precision=_prec(a.dtype, precision))
     out = out * jnp.asarray(alpha, out.dtype)
     if c0 is not None:
         out = out + jnp.asarray(beta, out.dtype) * c0
     return out
 
 
-@partial(jax.jit, static_argnames=("aat", "conj", "precision"))
-def syrk_dense(a, aat=False, conj=False, alpha=1.0, beta=0.0, c0=None,
-               precision=None):
-    """Upper-triangular gram matrix: triu(alpha * op(a) + beta * c0) with
-    op(a) = a @ a^H (aat=True) or a^H @ a.  The strict lower triangle is
-    beta * c0 (untouched input), matching cblas_?syrk semantics."""
+def gemm(a, b, alpha=1.0, beta=0.0, c0=None, precision=None):
+    """alpha * (a @ b) + beta * c0 on the MXU (cblas_?gemm analog).
+    f64 on TPU routes through the Ozaki bf16-slice matmul."""
+    m, k = a.shape[0], a.shape[1]
+    n = b.shape[1] if b.ndim > 1 else 1
+    return _gemm_jit(
+        a, b, alpha=alpha, beta=beta, c0=c0, precision=precision,
+        use_ozaki=_ozaki.enabled(a.dtype, k, m * k * n),
+    )
+
+
+@partial(jax.jit, static_argnames=("aat", "conj", "precision", "use_ozaki"))
+def _syrk_dense_jit(a, aat=False, conj=False, alpha=1.0, beta=0.0, c0=None,
+                    precision=None, use_ozaki=False):
     at = jnp.conj(a.T) if conj else a.T
     precision = _prec(a.dtype, precision)
-    full = jnp.dot(a, at, precision=precision) if aat else jnp.dot(
-        at, a, precision=precision
-    )
+    if use_ozaki and not conj:
+        full = _ozaki.syrk_f64(a, contract=1 if aat else 0)
+    elif aat:
+        full = jnp.dot(a, at, precision=precision)
+    else:
+        full = jnp.dot(at, a, precision=precision)
     full = full * jnp.asarray(alpha, full.dtype)
     upper = jnp.triu(full)
     if c0 is not None:
         return upper + jnp.asarray(beta, full.dtype) * c0
     return upper
+
+
+def syrk_dense(a, aat=False, conj=False, alpha=1.0, beta=0.0, c0=None,
+               precision=None):
+    """Upper-triangular gram matrix: triu(alpha * op(a) + beta * c0) with
+    op(a) = a @ a^H (aat=True) or a^H @ a.  The strict lower triangle is
+    beta * c0 (untouched input), matching cblas_?syrk semantics.  f64 on
+    TPU routes through the Ozaki bf16-slice matmul."""
+    m = a.shape[0] if aat else a.shape[1]
+    k = a.shape[1] if aat else a.shape[0]
+    return _syrk_dense_jit(
+        a, aat=aat, conj=conj, alpha=alpha, beta=beta, c0=c0,
+        precision=precision,
+        use_ozaki=not conj and _ozaki.enabled(a.dtype, k, m * k * m),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -179,22 +210,32 @@ def densify(rows, cols, vals, shape):
 # ---------------------------------------------------------------------------
 
 
+def _sorted_set_scatter_one(dest, vals, size):
+    return jnp.zeros((size,), vals.dtype).at[dest].set(
+        vals, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+
+
 def sorted_set_scatter(dest, vals, size):
     """out[dest] = vals with sorted, unique ``dest``; out-of-range
     destinations dropped.  f64 uses the hi/lo split."""
     if vals.dtype == jnp.float64:
-        hi = vals.astype(jnp.float32)
-        lo = (vals - hi.astype(jnp.float64)).astype(jnp.float32)
-        hib = jnp.zeros((size,), jnp.float32).at[dest].set(
-            hi, mode="drop", unique_indices=True, indices_are_sorted=True
-        )
-        lob = jnp.zeros((size,), jnp.float32).at[dest].set(
-            lo, mode="drop", unique_indices=True, indices_are_sorted=True
-        )
+        hi, lo = _ozaki.hilo(vals)
+        hib = _sorted_set_scatter_one(dest, hi, size)
+        lob = _sorted_set_scatter_one(dest, lo, size)
         return hib.astype(jnp.float64) + lob.astype(jnp.float64)
-    return jnp.zeros((size,), vals.dtype).at[dest].set(
-        vals, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
+    return _sorted_set_scatter_one(dest, vals, size)
+
+
+def densify_sorted_hilo(flat, vals, shape):
+    """f64 sorted-flat densify, keeping the exact double-f32 (hi, lo)
+    pair separate — feeds the Ozaki matmul without ever materializing a
+    dense f64 array."""
+    m, n = shape
+    hi, lo = _ozaki.hilo(vals)
+    hib = _sorted_set_scatter_one(flat, hi, m * n).reshape(m, n)
+    lob = _sorted_set_scatter_one(flat, lo, m * n).reshape(m, n)
+    return hib, lob
 
 
 @partial(jax.jit, static_argnames=("shape",))
@@ -229,48 +270,81 @@ def prefix_sum(mask):
 @partial(
     jax.jit,
     static_argnames=("m", "k", "n", "a_cm", "b_cm", "syrk", "with_count",
-                     "precision"),
+                     "precision", "use_ozaki", "triangular"),
 )
 def spgemm_numeric_sorted(a_flat, a_vals, b_flat, b_vals, m, k, n,
                           a_cm=False, b_cm=False, syrk=False,
-                          precision=None, with_count=False):
+                          precision=None, with_count=False,
+                          use_ozaki=False, triangular=False):
     """One-dispatch SpGEMM numeric phase over sorted-flat operands.
 
     ``a_cm``/``b_cm`` say the flat index is column-major (the natural
     sorted order of a CSC operand): the operand is densified
     *transposed* and the contraction dimensions absorb the transpose —
     no data movement.  ``syrk=True`` computes A @ A^T from a single
-    densify (the X @ X.T / gram fast path).
+    densify (the X @ X.T / gram fast path).  ``use_ozaki=True`` (f64,
+    TPU) runs the matmul as exact bf16 slice products on the MXU
+    instead of XLA's slow f64 emulation.  ``triangular=True`` keeps the
+    upper triangle (fused into the same program so the gram path pays
+    no extra dispatch).
     """
-    a_dense = densify_sorted(a_flat, a_vals, (k, m) if a_cm else (m, k))
     a_dim = 0 if a_cm else 1
-
-    if syrk:
-        c = lax.dot_general(
-            a_dense, a_dense, (((a_dim,), (a_dim,)), ((), ())),
-            precision=_prec(a_vals.dtype, precision),
+    b_dim = 1 if b_cm else 0
+    if use_ozaki:
+        a_hi, a_lo = densify_sorted_hilo(
+            a_flat, a_vals, (k, m) if a_cm else (m, k)
         )
+        if syrk:
+            c = _ozaki.syrk_hilo(a_hi, a_lo, contract=a_dim)
+        else:
+            b_hi, b_lo = densify_sorted_hilo(
+                b_flat, b_vals, (n, k) if b_cm else (k, n)
+            )
+            c = _ozaki.matmul_hilo(
+                a_hi, a_lo, b_hi, b_lo,
+                a_contract=a_dim, b_contract=b_dim,
+            )
     else:
-        b_dense = densify_sorted(
-            b_flat, b_vals, (n, k) if b_cm else (k, n)
-        )
-        b_dim = 1 if b_cm else 0
-        c = lax.dot_general(
-            a_dense, b_dense, (((a_dim,), (b_dim,)), ((), ())),
-            precision=_prec(a_vals.dtype, precision),
-        )
+        a_dense = densify_sorted(a_flat, a_vals, (k, m) if a_cm else (m, k))
+        if syrk:
+            c = lax.dot_general(
+                a_dense, a_dense, (((a_dim,), (a_dim,)), ((), ())),
+                precision=_prec(a_vals.dtype, precision),
+            )
+        else:
+            b_dense = densify_sorted(
+                b_flat, b_vals, (n, k) if b_cm else (k, n)
+            )
+            c = lax.dot_general(
+                a_dense, b_dense, (((a_dim,), (b_dim,)), ((), ())),
+                precision=_prec(a_vals.dtype, precision),
+            )
+    if triangular:
+        c = jnp.triu(c)
     if with_count:
         return c, jnp.count_nonzero(c)
     return c
 
 
-@partial(jax.jit, static_argnames=("m", "k", "a_cm", "precision"))
-def spmm_densified_sorted(flat, vals, b, m, k, a_cm=False, precision=None):
+@partial(jax.jit,
+         static_argnames=("m", "k", "a_cm", "precision", "use_ozaki"))
+def spmm_densified_sorted(flat, vals, b, m, k, a_cm=False, precision=None,
+                          use_ozaki=False):
     """SpMM fast path: sorted-flat densify (hi/lo split for f64) + MXU
-    matmul; ``a_cm`` densifies the transpose and contracts dim 0."""
+    matmul; ``a_cm`` densifies the transpose and contracts dim 0.
+    ``use_ozaki`` runs the f64 matmul as exact bf16 slice products."""
+    a_dim = 0 if a_cm else 1
+    if use_ozaki:
+        a_hi, a_lo = densify_sorted_hilo(
+            flat, vals, (k, m) if a_cm else (m, k)
+        )
+        b_hi, b_lo = _ozaki.hilo(b)
+        return _ozaki.matmul_hilo(
+            a_hi, a_lo, b_hi, b_lo, a_contract=a_dim, b_contract=0
+        )
     a_dense = densify_sorted(flat, vals, (k, m) if a_cm else (m, k))
     return lax.dot_general(
-        a_dense, b, (((0 if a_cm else 1,), (0,)), ((), ())),
+        a_dense, b, (((a_dim,), (0,)), ((), ())),
         precision=_prec(vals.dtype, precision),
     )
 
@@ -285,9 +359,11 @@ def spmm_densified(rows, cols, vals, b, m, precision=None):
     return jnp.dot(a_dense, b, precision=_prec(vals.dtype, precision))
 
 
-@partial(jax.jit, static_argnames=("m", "use_mxu", "nchunks", "precision"))
+@partial(jax.jit, static_argnames=("m", "use_mxu", "nchunks", "precision",
+                                   "use_ozaki"))
 def _spmm_fused(rows, cols, vals, b, m, use_mxu, nchunks=1,
-                precision=None, alpha=None, beta=None, c0=None):
+                precision=None, alpha=None, beta=None, c0=None,
+                use_ozaki=False):
     """One-dispatch SpMM: path + alpha/beta accumulate fused into a
     single XLA program (the tunnel's per-dispatch latency dominates
     multi-call formulations)."""
@@ -295,7 +371,12 @@ def _spmm_fused(rows, cols, vals, b, m, use_mxu, nchunks=1,
         a_dense = jnp.zeros((m, b.shape[0]), dtype=vals.dtype).at[
             rows, cols
         ].add(vals, mode="drop")
-        c = jnp.dot(a_dense, b, precision=_prec(vals.dtype, precision))
+        if use_ozaki:
+            ah, al = _ozaki.hilo(a_dense)
+            bh, bl = _ozaki.hilo(b)
+            c = _ozaki.matmul_hilo(ah, al, bh, bl)
+        else:
+            c = jnp.dot(a_dense, b, precision=_prec(vals.dtype, precision))
     elif nchunks <= 1:
         c = _spmm_scatter_oneshot(rows, cols, vals, b, m)
     else:
@@ -360,6 +441,7 @@ def coo_spmm(rows, cols, vals, b, m, k, alpha=1.0, beta=0.0, c0=None,
         alpha=None if trivial_alpha else alpha,
         beta=beta if c0 is not None else None,
         c0=c0,
+        use_ozaki=use_mxu and _ozaki.enabled(vals.dtype, k, m * k * n),
     )
 
 
@@ -380,8 +462,11 @@ def _prefer_densify(m, k, n, nnz, dtype):
     bytes_per = jnp.dtype(dtype).itemsize
     if jnp.dtype(dtype) == jnp.float64:
         scatter_s = nnz * n * bytes_per * 2 / 16e9
+        # Ozaki slice matmul runs ~D(D+1)/2 bf16 passes at MXU speed;
+        # XLA's emulated f64 dot_general manages ~0.4 TF/s.
+        mm_tput = 3e12 if _ozaki.enabled(dtype, k, m * k * n) else 0.4e12
         # hi/lo-split sorted-set densify runs at f32 scatter speed
-        densify_s = nnz / 5e7 + m * k / 20e9 + 2.0 * m * k * n / 0.4e12
+        densify_s = nnz / 5e7 + m * k / 20e9 + 2.0 * m * k * n / mm_tput
     else:
         scatter_s = nnz * n * bytes_per * 2 / 27e9
         densify_s = nnz / 8e7 + m * k / 40e9 + 2.0 * m * k * n / 5e12
@@ -474,11 +559,12 @@ def sort_csr_indices(indptr_rows, cols, vals, ncols):
 
 @partial(
     jax.jit,
-    static_argnames=("m", "k", "n", "use_mxu", "precision", "with_count"),
+    static_argnames=("m", "k", "n", "use_mxu", "precision", "with_count",
+                     "use_ozaki"),
 )
 def _spgemm_dense_fused(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals,
                         m, k, n, use_mxu, precision=None,
-                        with_count=False):
+                        with_count=False, use_ozaki=False):
     """One-dispatch SpGEMM numeric phase: densify B, then either densify
     A + MXU matmul or gather/scatter, optionally returning the output
     nonzero count in the same program (saves a dispatch round-trip for
@@ -490,8 +576,13 @@ def _spgemm_dense_fused(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals,
         a_dense = jnp.zeros((m, k), dtype=a_vals.dtype).at[
             a_rows, a_cols
         ].add(a_vals, mode="drop")
-        c = jnp.dot(a_dense, b_dense,
-                    precision=_prec(a_vals.dtype, precision))
+        if use_ozaki:
+            ah, al = _ozaki.hilo(a_dense)
+            bh, bl = _ozaki.hilo(b_dense)
+            c = _ozaki.matmul_hilo(ah, al, bh, bl)
+        else:
+            c = jnp.dot(a_dense, b_dense,
+                        precision=_prec(a_vals.dtype, precision))
     else:
         c = _spmm_scatter_oneshot(a_rows, a_cols, a_vals, b_dense, m)
     if with_count:
@@ -510,6 +601,7 @@ def spgemm_dense(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m, k, n,
         a_rows, a_cols, a_vals, b_rows, b_cols, b_vals,
         m=m, k=k, n=n, use_mxu=use_mxu, precision=precision,
         with_count=with_count,
+        use_ozaki=use_mxu and _ozaki.enabled(a_vals.dtype, k, m * k * n),
     )
 
 

@@ -157,7 +157,8 @@ def _real_spmm(A, a_data, b_dev, transpose):
         # transpose flips which dense orientation the flat addresses
         a_cm = bool(cm) != bool(transpose)
         return _xla.spmm_densified_sorted(
-            flat, vals, b_dev, m=m, k=k, a_cm=a_cm
+            flat, vals, b_dev, m=m, k=k, a_cm=a_cm,
+            use_ozaki=_xla._ozaki.enabled(a_data.dtype, k, m * k * n),
         )
 
     rows, cols, vals, m, k = coo_parts(A, data=a_data, transpose=transpose)
@@ -298,19 +299,23 @@ def _is_syrk_pair(A, B, a_data, b_data):
     )
 
 
-def _spgemm_dense_real(A, a_data, B, b_data, with_count=False):
+def _spgemm_dense_real(A, a_data, B, b_data, with_count=False,
+                       triangular=False):
     m, k = A.shape
     n = B.shape[1]
+    use_oz = _xla._ozaki.enabled(a_data.dtype, k, m * k * n)
     a_flat, a_vals, a_cm = A.sorted_flat_parts(a_data)
     if _is_syrk_pair(A, B, a_data, b_data):
         return _xla.spgemm_numeric_sorted(
             a_flat, a_vals, None, None, m=m, k=k, n=n,
             a_cm=a_cm, syrk=True, with_count=with_count,
+            use_ozaki=use_oz, triangular=triangular,
         )
     b_flat, b_vals, b_cm = B.sorted_flat_parts(b_data)
     return _xla.spgemm_numeric_sorted(
         a_flat, a_vals, b_flat, b_vals, m=m, k=k, n=n,
         a_cm=a_cm, b_cm=b_cm, with_count=with_count,
+        use_ozaki=use_oz, triangular=triangular,
     )
 
 
@@ -540,11 +545,8 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         out_dtype = _odt(A, B)
 
     dense_dev, count = _spgemm_dense_real(
-        A, A.data, B, B.data, with_count=True
+        A, A.data, B, B.data, with_count=True, triangular=triangular
     )
-    if triangular:
-        dense_dev = jnp.triu(dense_dev)
-        count = _xla.count_nonzero(dense_dev)
 
     key = _pattern_key(A, B, triangular)
     nnz = _spgemm_nnz_cache.get(key)
