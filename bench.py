@@ -32,6 +32,8 @@ SCIPY_SPGEMM_MS = 204.0
 
 
 def _median(fn, sync=None, reps=10, warmup=2):
+    """Per-call wall time for host-boundary calls (result is numpy, so
+    the call itself forces execution and readback)."""
     for _ in range(warmup):
         r = fn()
         if sync:
@@ -46,21 +48,52 @@ def _median(fn, sync=None, reps=10, warmup=2):
     return float(np.median(times))
 
 
-def _pipelined(fn, sync, reps=10, warmup=2):
-    """Launch reps back-to-back, block once: amortized per-op time in a
-    pipelined regime (the tunnel's per-dispatch latency overlaps)."""
+_RTT_MS = [None]
+
+
+def _measure_rtt():
+    """One-scalar-read round-trip cost of the backend (the tunnel's
+    dispatch+read latency).  Subtracted from pipelined measurements."""
+    if _RTT_MS[0] is None:
+        import jax.numpy as jnp
+
+        x = jnp.ones((8,))
+        float(x.sum())  # warm
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float((x * 2.0).sum())
+            times.append((time.perf_counter() - t0) * 1e3)
+        _RTT_MS[0] = float(np.median(times))
+    return _RTT_MS[0]
+
+
+def _pipelined(fn, scalarize, reps=10, warmup=2):
+    """Amortized per-op device time for device-resident ops.
+
+    IMPORTANT: on the tunnel backend ``jax.block_until_ready`` does NOT
+    force execution — only reading a value does.  So each op is reduced
+    to a scalar ON DEVICE, the scalars of all reps are combined in one
+    tiny program, and exactly one scalar is read; the measured wall
+    time minus one round-trip, divided by reps, is the per-op device
+    cost."""
+    import jax.numpy as jnp
+
+    def run_all():
+        scalars = [scalarize(fn()) for _ in range(reps)]
+        return float(jnp.stack(scalars).sum())
+
     for _ in range(warmup):
-        sync(fn())
+        run_all()
     t0 = time.perf_counter()
-    r = None
-    for _ in range(reps):
-        r = fn()
-    sync(r)
-    return (time.perf_counter() - t0) * 1e3 / reps
+    run_all()
+    dt = (time.perf_counter() - t0) * 1e3
+    return max(dt - _measure_rtt(), 0.01) / reps
 
 
 def main():
     import jax
+    import jax.numpy as jnp
     import sparse_dot_tpu as sdt
     from sparse_dot_tpu import formats
     from sparse_dot_tpu.ops import host as hops
@@ -69,6 +102,20 @@ def main():
     def sync(x):
         jax.block_until_ready(x)
         return x
+
+    def s_arr(r):
+        """Scalarize a device array (forces the whole program)."""
+        return r.astype(jnp.float32).sum() if hasattr(r, "sum") else r
+
+    def s_csr(c):
+        """Scalarize a device CSR container."""
+        return (
+            c.data.astype(jnp.float32).sum()
+            + c.indices.astype(jnp.float32).sum()
+        )
+
+    def s_tuple(t):
+        return sum(x.astype(jnp.float32).sum() for x in t)
 
     X = sps.random(
         500, 5000, density=0.212, format="csr", dtype=np.float64,
@@ -87,24 +134,24 @@ def main():
 
     # --- headline: full SpGEMM, sparse output, device-resident --------
     spgemm_ms = _pipelined(
-        lambda: hops.spgemm_device(A, B, sync_check=False), sync,
+        lambda: hops.spgemm_device(A, B, sync_check=False), s_csr,
         reps=10
     )
     spgemm_blocked_ms = _median(
-        lambda: sync(hops.spgemm_device(A, B)), reps=10
+        lambda: float(s_csr(hops.spgemm_device(A, B))), reps=10
     )
 
     # --- numeric phase only, pipelined (dense=True mode) --------------
     def numeric():
         return hops._spgemm_dense_real(A, A.data, B, B.data)
 
-    numeric_ms = _pipelined(numeric, sync)
+    numeric_ms = _pipelined(numeric, s_arr)
 
     # --- gram (A A^T upper-tri, syrk analog), device-resident ---------
     gram_ms = _pipelined(
         lambda: hops.spgemm_device(A, B, triangular=True,
                                    sync_check=False),
-        sync, reps=10,
+        s_csr, reps=10,
     )
 
     # --- scipy-in / scipy-out end-to-end (warm transfer cache) --------
@@ -122,14 +169,14 @@ def main():
     bdev = jnp.asarray(rng.random((10000, 128)))
 
     spmm_ms = _pipelined(
-        lambda: hops._real_spmm(Ad, Ad.data, bdev, False), sync, reps=5
+        lambda: hops._real_spmm(Ad, Ad.data, bdev, False), s_arr, reps=5
     )
     spmm_gflops = 2 * Asp.nnz * 128 / (spmm_ms * 1e-3) / 1e9
 
     Af = formats.to_device(Asp.astype(np.float32))
     bf = bdev.astype(jnp.float32)
     spmm32_ms = _pipelined(
-        lambda: hops._real_spmm(Af, Af.data, bf, False), sync, reps=5
+        lambda: hops._real_spmm(Af, Af.data, bf, False), s_arr, reps=5
     )
 
     # f32 SpGEMM (the MXU-native dtype) on the headline workload
@@ -138,7 +185,7 @@ def main():
     Af32 = formats.to_device(Xf)
     Bf32 = formats.to_device(XTf)
     spgemm32_ms = _pipelined(
-        lambda: hops.spgemm_device(Af32, Bf32, sync_check=False), sync,
+        lambda: hops.spgemm_device(Af32, Bf32, sync_check=False), s_csr,
         reps=10,
     )
 
@@ -159,6 +206,7 @@ def main():
             "spgemm_xxt_f32_ms": round(spgemm32_ms, 3),
             "vs_scipy_spgemm": round(SCIPY_SPGEMM_MS / spgemm_ms, 3),
             "max_abs_err": err,
+            "rtt_ms": round(_measure_rtt(), 3),
         },
     }
     print(json.dumps(result))

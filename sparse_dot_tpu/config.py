@@ -58,6 +58,12 @@ class _Config:
         # Hand-written Pallas block-sparse kernel (auto-disabled when
         # the runtime cannot compile scalar-prefetch kernels).
         self.pallas_bsr_enabled = True
+        # Scatter-free padded row-block (ELL) SpMM: gather B rows per
+        # 16-row CSR block and contract with a segment-indicator
+        # matmul.  TPU scatters are ~4x slower than gathers, so this
+        # wins at low density; disable to force the densify/scatter
+        # paths.
+        self.ell_spmm_enabled = True
         # Ozaki-scheme f64 matmul (exact bf16 slice products on the
         # MXU instead of XLA's ~0.4 TF/s f64 emulation): "auto" enables
         # it on accelerator backends for large matmuls, "1"/"always"

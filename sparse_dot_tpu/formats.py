@@ -288,6 +288,46 @@ class CSR(SparseDeviceMatrix):
             self._row_indices = cached
         return cached
 
+    def ell_parts(self, data=None, max_pad_ratio=3.0):
+        """Per-row padded (ELL) layout for the scatter-free SpMM path.
+
+        Returns (cols_ell, vals_ell), both (m_pad, rmax) with m_pad a
+        multiple of 256, or None when padding would blow up the layout
+        (row lengths skewed beyond ``max_pad_ratio``).  The one-time
+        repack — this framework's analog of MKL's inspector-executor
+        "optimize" step — is cached on the container; the padded
+        values are cached per data buffer.
+        """
+        from .ops import _xla
+
+        data = self.data if data is None else data
+        m = self.shape[0]
+        m_pad = -(-m // 256) * 256
+        cache = getattr(self, "_ell_cache", None)
+        if cache is None:
+            rmax = max(int(_xla.ell_row_max(self.indptr)), 1)
+            pad_ratio = m * rmax / max(self.nnz, 1)
+            if pad_ratio > max_pad_ratio:
+                cache = (None, None, pad_ratio)
+            else:
+                cols_ell, vals_ell = _xla.ell_repack(
+                    self.row_indices(), self.indices, data, self.indptr,
+                    m=m_pad, rmax=rmax,
+                )
+                cache = (cols_ell, (id(data), vals_ell), pad_ratio)
+            self._ell_cache = cache
+        cols_ell, vals_entry, pad_ratio = cache
+        if cols_ell is None:
+            return None
+        if vals_entry[0] != id(data):
+            _, vals_ell = _xla.ell_repack(
+                self.row_indices(), self.indices, data, self.indptr,
+                m=m_pad, rmax=cols_ell.shape[1],
+            )
+            vals_entry = (id(data), vals_ell)
+            self._ell_cache = (cols_ell, vals_entry, pad_ratio)
+        return cols_ell, vals_entry[1]
+
     @property
     def T(self):
         """Zero-cost transpose: a CSR's buffers reread as CSC."""

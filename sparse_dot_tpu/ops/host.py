@@ -150,6 +150,14 @@ def _real_spmm(A, a_data, b_dev, transpose):
     n = int(b_dev.shape[1])
     nnz = int(a_data.reshape(-1).shape[0])
 
+    if _prefer_ell(A, a_data, m, k, n, nnz, transpose):
+        ell = A.ell_parts(data=a_data)
+        if ell is not None:
+            cols_ell, vals_ell = ell
+            nchunks = _ell_chunks(cols_ell.shape, n, a_data.dtype)
+            c = _xla.ell_spmm(cols_ell, vals_ell, b_dev, nchunks=nchunks)
+            return c[:m] if c.shape[0] != m else c
+
     if not jnp.iscomplexobj(a_data) and _xla._prefer_densify(
         m, k, n, nnz, a_data.dtype
     ):
@@ -167,6 +175,43 @@ def _real_spmm(A, a_data, b_dev, transpose):
         chunk_elements=config.spmm_chunk_elements,
         densify_ok=False,
     )
+
+
+def _prefer_ell(A, a_data, m, k, n, nnz, transpose):
+    """Gate the per-row padded (ELL) SpMM: CSR only (rows must be
+    sorted), real dtypes, low density (gather traffic beats the dense
+    operand's scatter+matmul), moderate n.  f64 stays EXACT on this
+    path (elementwise f64, no emulated dot).  Forced on/off with
+    config.ell_spmm_enabled = "always"/False (tests)."""
+    from ..backend import default_platform
+
+    mode = config.ell_spmm_enabled
+    if not mode:
+        return False
+    if transpose or not isinstance(A, formats.CSR) or A.planar:
+        return False
+    if jnp.iscomplexobj(a_data):
+        return False
+    if mode == "always":
+        return True
+    if default_platform() == "cpu":
+        return False
+    if nnz == 0 or n > 512:
+        return False
+    density = nnz / max(m * k, 1)
+    return density <= 0.02 and nnz >= (1 << 14)
+
+
+def _ell_chunks(ell_shape, n, dtype, budget=1 << 31):
+    """Row-chunk count keeping the gathered (m, rmax, n) intermediate
+    under ~2 GB; chunk counts are powers of two dividing m_pad (a
+    multiple of 256)."""
+    m_pad, rmax = ell_shape
+    bytes_total = m_pad * rmax * max(n, 1) * jnp.dtype(dtype).itemsize
+    nchunks = 1
+    while bytes_total // nchunks > budget and nchunks < 256:
+        nchunks *= 2
+    return nchunks
 
 
 def _use_pallas_bsr(A, b_dev):
@@ -189,6 +234,15 @@ def _use_pallas_bsr(A, b_dev):
 
 
 def _real_spmv(A, a_data, x_dev, transpose):
+    m, k = A.shape
+    nnz = int(a_data.reshape(-1).shape[0])
+    if _prefer_ell(A, a_data, m, k, 1, nnz, transpose):
+        ell = A.ell_parts(data=a_data)
+        if ell is not None:
+            cols_ell, vals_ell = ell
+            nchunks = _ell_chunks(cols_ell.shape, 1, a_data.dtype)
+            y = _xla.ell_spmv(cols_ell, vals_ell, x_dev, nchunks=nchunks)
+            return y[:m] if y.shape[0] != m else y
     rows, cols, vals, m, k = coo_parts(A, data=a_data, transpose=transpose)
     return _xla.coo_spmv(rows, cols, vals, x_dev, m=m)
 
