@@ -54,18 +54,6 @@ def _scipy_blocksize(mat):
     return None
 
 
-def _finalize_dense(result_np, order, out):
-    """Return the product with the required memory order, writing into
-    ``out`` in place when provided (the same object is returned, as the
-    reference's tests assert by identity)."""
-    if out is not None:
-        out[...] = result_np
-        return out
-    if order == "F":
-        return np.asfortranarray(result_np)
-    return np.ascontiguousarray(result_np)
-
-
 # ---------------------------------------------------------------------------
 # sparse @ sparse
 # ---------------------------------------------------------------------------

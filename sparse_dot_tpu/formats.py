@@ -593,20 +593,24 @@ _DEVICE_CLASSES = {"csr": CSR, "csc": CSC, "bsr": BSR}
 # Disable with ``config.device_transfer_cache = False``.
 
 import collections as _collections
+import zlib as _zlib
 
 _transfer_cache = _collections.OrderedDict()
 _TRANSFER_CACHE_MAX = 128
 
 
 def _array_fingerprint(arr):
+    """Content fingerprint: full CRC32 of the raw buffer.
+
+    A full checksum (~GB/s) is still orders of magnitude cheaper than a
+    host->device transfer, and unlike a sampled checksum it cannot miss
+    an in-place mutation of the host data (a silent wrong-answer class
+    on a default-on cache)."""
     if arr.size == 0:
-        return (arr.shape, arr.dtype.str, 0, 0.0)
-    flat = arr.reshape(-1)
-    step = max(1, flat.size // 128)
-    sample = flat[::step]
-    with np.errstate(all="ignore"):
-        s = complex(sample.astype(np.complex128).sum())
-    return (arr.shape, arr.dtype.str, arr.ctypes.data, s)
+        return (arr.shape, arr.dtype.str, 0, 0)
+    buf = arr if arr.flags.c_contiguous else np.ascontiguousarray(arr)
+    crc = _zlib.crc32(memoryview(buf).cast("B"))
+    return (arr.shape, arr.dtype.str, arr.ctypes.data, crc)
 
 
 def _cache_get(key, fingerprint):
@@ -655,6 +659,7 @@ def to_device(mat):
         mat.format,
         _array_fingerprint(mat.data),
         _array_fingerprint(mat.indices),
+        _array_fingerprint(mat.indptr),
         mat.shape,
     )
     cached = _cache_get(key, fp)
@@ -675,7 +680,14 @@ def to_device(mat):
             int(mat.nnz),
             np.dtype(config.index_dtype).str,
         )
-        alias_fp = (_array_fingerprint(mat.data),)
+        # The alias entry can be hit through a different scipy object
+        # sharing the same buffers, so its validity must cover every
+        # buffer's content, not just the values.
+        alias_fp = (
+            _array_fingerprint(mat.data),
+            _array_fingerprint(mat.indices),
+            _array_fingerprint(mat.indptr),
+        )
         hit = _cache_get(alias_key, alias_fp)
         if hit is not None:
             h_container, h_format, h_shape = hit

@@ -135,10 +135,20 @@ def _real_spmm(A, a_data, b_dev, transpose):
                     bs=A.blocksize[0],
                 )
                 return out[:, :n] if n_pad != n else out
-            except Exception:
+            except (jax.errors.JaxRuntimeError, NotImplementedError) as e:
                 # Some runtimes (e.g. the dev tunnel's AOT helper) cannot
                 # compile scalar-prefetch kernels; fall back to the
-                # batched-matmul path and stop retrying.
+                # batched-matmul path and stop retrying.  Only compile /
+                # lowering failures are absorbed — a numerical bug in the
+                # kernel must surface, not vanish into the fallback.
+                import warnings
+
+                warnings.warn(
+                    "sparse_dot_tpu: Pallas BSR kernel failed to "
+                    f"compile; falling back to the batched-matmul path "
+                    f"for this process ({type(e).__name__}: {e})",
+                    RuntimeWarning,
+                )
                 _cfg.pallas_bsr_enabled = False
         return _xla.bsr_spmm(
             a_data, A.block_row_indices(), A.indices, b_dev, m=A.shape[0]

@@ -15,6 +15,7 @@ manager, iterator (one step per ``__next__``), ``solve()``,
 """
 
 import warnings
+from functools import partial
 
 import numpy as np
 import scipy.sparse as _sps
@@ -176,8 +177,14 @@ class IterativeSparseSolver:
         return op
 
     def update_tmp(self):
-        """Protocol-parity hook: apply the operator (the RCI matvec)."""
-        return np.asarray(self._operator()(jnp.asarray(self.x)))
+        """Protocol-parity hook: the RCI matvec ``tmp[1] = A @ tmp[0]``
+        (reference ``_cg.py:288-297`` updates the flat work buffer, not
+        ``x``).  Allocates the work block lazily like the reference's
+        ``_iss.py:232-278``."""
+        if self.tmp is None:
+            self.tmp = np.zeros((4, self.n), dtype=np.float64)
+        self.tmp[1] = np.asarray(self._operator()(jnp.asarray(self.tmp[0])))
+        return self.tmp[1]
 
     # -- convergence --------------------------------------------------------
 

@@ -1,0 +1,93 @@
+"""Host->device transfer-cache correctness.
+
+The cache (``formats.to_device`` / ``formats.dense_to_device``) is keyed
+by object identity and validated with a full-content CRC fingerprint.
+These are regression tests for the silent wrong-answer class a weaker
+(sampled) fingerprint allowed: an in-place host mutation that misses the
+sample grid returning a stale device matrix.
+"""
+
+import unittest
+
+import numpy as np
+import numpy.testing as npt
+import scipy.sparse as sps
+
+from sparse_dot_tpu import dot_product, formats
+from sparse_dot_tpu.config import config
+
+from .common import make_matrixes
+
+
+class TestTransferCacheInvalidation(unittest.TestCase):
+    def setUp(self):
+        formats.clear_transfer_cache()
+        self.A, self.B = make_matrixes(50, 30, 4000, 0.1)
+
+    def tearDown(self):
+        formats.clear_transfer_cache()
+
+    def test_cache_hit_identity(self):
+        d1 = formats.to_device(self.A)
+        d2 = formats.to_device(self.A)
+        self.assertIs(d1, d2)
+
+    def test_inplace_value_mutation_detected(self):
+        # Mutate single elements at positions a 128-point sampled
+        # checksum would skip; every one must invalidate the cache.
+        d1 = formats.to_device(self.A)
+        for idx in (1, 3, self.A.nnz - 2):
+            before = np.asarray(formats.to_device(self.A).data).copy()
+            self.A.data[idx] += 1.0
+            d2 = formats.to_device(self.A)
+            after = np.asarray(d2.data)
+            self.assertAlmostEqual(
+                after[idx] - before[idx], 1.0, places=12
+            )
+
+    def test_inplace_index_mutation_detected(self):
+        A = self.A.copy()
+        dense_before = dot_product(A, self.B).toarray()
+        # Move one nonzero to a different column in place, then restore
+        # scipy's sorted/canonical invariants (the cache must still see
+        # the content change).
+        old_col = A.indices[5]
+        A.indices[5] = (old_col + 7) % A.shape[1]
+        A.sort_indices()
+        A.sum_duplicates()
+        dense_after = dot_product(A, self.B).toarray()
+        oracle = (A @ self.B).toarray()
+        npt.assert_array_almost_equal(dense_after, oracle)
+        self.assertFalse(np.array_equal(dense_before, dense_after))
+
+    def test_dense_cache_mutation_detected(self):
+        rng = np.random.default_rng(0)
+        b = rng.random((4000, 8))
+        r1 = dot_product(self.A, b)
+        # An off-grid single-element change must be reflected.
+        b[17, 3] += 5.0
+        r2 = dot_product(self.A, b)
+        npt.assert_array_almost_equal(r2, self.A @ b)
+        self.assertFalse(np.array_equal(r1, r2))
+
+    def test_cache_disable(self):
+        config.device_transfer_cache = False
+        try:
+            d1 = formats.to_device(self.A)
+            d2 = formats.to_device(self.A)
+            self.assertIsNot(d1, d2)
+        finally:
+            config.device_transfer_cache = True
+
+    def test_transpose_alias_reuses_buffers(self):
+        # X.T shares X's buffers: the CSC view must come back as the
+        # zero-cost transpose of the cached CSR (one upload, syrk pair
+        # detectable downstream).
+        d1 = formats.to_device(self.A)
+        d2 = formats.to_device(self.A.T.tocsc(copy=False))
+        self.assertIs(d2.data, d1.data)
+        self.assertEqual(d2.shape, self.A.shape[::-1])
+
+
+if __name__ == "__main__":
+    unittest.main()
