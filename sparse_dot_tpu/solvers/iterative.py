@@ -53,6 +53,49 @@ def _as_container(A):
     return None
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _cg_device_loop(rows, cols, vals, b, x0, threshold, maxiter, n):
+    """Whole CG solve as one compiled ``lax.while_loop`` — zero host
+    round-trips per iteration (the inversion of the reference's RCI,
+    which crosses the FFI boundary every step,
+    ``/root/reference/sparse_dot_mkl/solvers/_iss.py:207-220``).
+
+    Returns (x, rs, it): the iterate, the squared residual norm, and
+    the number of CG steps taken.  Step order and convergence test
+    (``sqrt(rs_new) <= threshold`` after the update) match the
+    stepwise :class:`CGIterativeSparseSolver` exactly, so iteration
+    counts agree.
+    """
+
+    def mv(v):
+        return _xla.coo_spmv(rows, cols, vals, v, m=n)
+
+    r0 = b - mv(x0)
+    rs0 = jnp.vdot(r0, r0)
+
+    def cond(state):
+        _, _, _, rs, it, done = state
+        return jnp.logical_and(~done, it < maxiter)
+
+    def body(state):
+        x, r, p, rs, it, _ = state
+        sp = mv(p)
+        denom = jnp.vdot(p, sp)
+        alpha = jnp.where(denom != 0, rs / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * sp
+        rs_new = jnp.vdot(r, r)
+        beta = jnp.where(rs != 0, rs_new / rs, 0.0)
+        p = r + beta * p
+        done = jnp.sqrt(rs_new) <= threshold
+        return (x, r, p, rs_new, it + 1, done)
+
+    state = (x0, r0, r0, rs0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(False))
+    x, _, _, rs, it, _ = jax.lax.while_loop(cond, body, state)
+    return x, rs, it
+
+
 class IterativeSparseSolver:
     """Base solver: operator construction, protocol plumbing.
 
@@ -142,36 +185,38 @@ class IterativeSparseSolver:
         self.dpar[0] = self.r_tol
         self.dpar[1] = self.a_tol
 
+    def _operator_coo(self):
+        """Expanded-COO arrays of the effective operator, honoring the
+        descriptor.  Symmetric descriptors symmetrize the stored
+        triangle S = T + T^T - diag(T) by concatenating the transposed
+        entries and a negated diagonal (pad entries carry row id ``n``
+        and are dropped by the scatter) — one triple feeds both the
+        stepwise matvec and the fused device loop."""
+        rows, cols, vals, m, k = coo_parts(self.A)
+        n = self.n
+        if self.matrix_A_descr[0] == SPARSE_MATRIX_TYPE_SYMMETRIC:
+            diag_mask = rows == cols
+            d_rows = jnp.where(diag_mask, rows, n).astype(rows.dtype)
+            d_vals = jnp.where(diag_mask, -vals, 0.0)
+            rows, cols, vals = (
+                jnp.concatenate([rows, cols, d_rows]),
+                jnp.concatenate([cols, rows, d_rows]),
+                jnp.concatenate([vals, vals, d_vals]),
+            )
+        return rows, cols, vals
+
     def _operator(self):
         """Build the (n -> n) matvec closure from the stored matrix and
-        the descriptor.  Symmetric descriptors symmetrize the stored
-        triangle: S = T + T^T - diag(T)."""
+        the descriptor."""
         if self._op_cache is not None:
             return self._op_cache
 
-        rows, cols, vals, m, k = coo_parts(self.A)
+        rows, cols, vals = self._operator_coo()
         n = self.n
-        mat_type = self.matrix_A_descr[0]
 
-        if mat_type == SPARSE_MATRIX_TYPE_SYMMETRIC:
-            diag_mask = rows == cols
-            d_rows = jnp.where(diag_mask, rows, n)
-            d_vals = jnp.where(diag_mask, vals, 0.0)
-
-            @jax.jit
-            def op(v):
-                y = _xla.coo_spmv(rows, cols, vals, v, m=n)
-                y = y + _xla.coo_spmv(cols, rows, vals, v, m=n)
-                d = jnp.zeros((n,), vals.dtype).at[d_rows].add(
-                    d_vals, mode="drop"
-                )
-                return y - d * v
-
-        else:
-
-            @jax.jit
-            def op(v):
-                return _xla.coo_spmv(rows, cols, vals, v, m=n)
+        @jax.jit
+        def op(v):
+            return _xla.coo_spmv(rows, cols, vals, v, m=n)
 
         self._op_cache = op
         return op
@@ -279,6 +324,42 @@ class CGIterativeSparseSolver(IterativeSparseSolver):
         self.x = np.asarray(x)
         return self._converged(float(jnp.sqrt(rs_new)))
 
+    def solve(self):
+        """Full solve as ONE compiled device loop (O(1) host syncs,
+        versus the reference's per-iteration FFI crossing).  The
+        stepwise iterator protocol (``__next__``) remains available and
+        produces identical iterates/iteration counts."""
+        if np.linalg.norm(self.b) == 0.0:
+            self.x = np.zeros(self.n, dtype=np.float64)
+            self.final_code = 0
+            return self.x
+
+        thr = self._threshold()
+        if thr == 0.0:
+            thr = 1e-12
+        rows, cols, vals = self._operator_coo()
+        x, rs, it = _cg_device_loop(
+            rows, cols, vals,
+            jnp.asarray(self.b), jnp.asarray(self.x),
+            jnp.asarray(thr, jnp.float64),
+            jnp.asarray(self.max_iter, jnp.int32),
+            n=self.n,
+        )
+        # One readback for the result, the residual, and the count.
+        x_np = np.asarray(x)
+        self.x = x_np
+        self.current_iter = int(it)
+        if float(np.sqrt(rs)) <= thr:
+            self.final_code = 0
+        else:
+            warnings.warn(
+                f"{self.solver_name} did not converge within "
+                f"{self.max_iter} iterations",
+                ConvergenceWarning,
+            )
+            self.final_code = -1
+        return self.x
+
 
 class FGMRESIterativeSparseSolver(IterativeSparseSolver):
     """Flexible GMRES via restarted Arnoldi cycles on device.  Each
@@ -304,6 +385,42 @@ class FGMRESIterativeSparseSolver(IterativeSparseSolver):
             jnp.linalg.norm(jnp.asarray(self.b) - op(jnp.asarray(self.x)))
         )
         return self._converged(r_norm)
+
+    def solve(self):
+        """Full solve as one device-resident restarted-GMRES program:
+        all ``max_iter`` restart cycles run inside jax.scipy's internal
+        ``lax.while_loop``, with a single residual readback at the end
+        (the stepwise ``__next__`` path pays one readback per cycle)."""
+        if np.linalg.norm(self.b) == 0.0:
+            self.x = np.zeros(self.n, dtype=np.float64)
+            self.final_code = 0
+            return self.x
+
+        op = self._operator()
+        b_dev = jnp.asarray(self.b)
+        x, _ = jax.scipy.sparse.linalg.gmres(
+            op,
+            b_dev,
+            x0=jnp.asarray(self.x),
+            tol=self.r_tol,
+            atol=self.a_tol,
+            restart=min(self.restart, self.n),
+            maxiter=self.max_iter,
+            solve_method="batched",
+        )
+        r_norm = float(jnp.linalg.norm(b_dev - op(x)))
+        self.x = np.asarray(x)
+        self.current_iter = self.max_iter
+        if self._converged(r_norm):
+            self.final_code = 0
+        else:
+            warnings.warn(
+                f"{self.solver_name} did not converge within "
+                f"{self.max_iter} iterations",
+                ConvergenceWarning,
+            )
+            self.final_code = -1
+        return self.x
 
 
 def _wrapper_guards(M, callback, callback_type=None):

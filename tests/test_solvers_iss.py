@@ -108,6 +108,36 @@ class TestSparseSolverCG(unittest.TestCase):
                 any(issubclass(x.category, ConvergenceWarning) for x in w)
             )
 
+    def test_cg_fused_matches_stepwise(self):
+        """solve() runs one compiled device loop; it must produce the
+        same iterate and the same iteration count as driving the
+        stepwise __next__ protocol by hand."""
+        A, b = _spd_system()
+        with CGIterativeSparseSolver(A, b, r_tol=1e-10) as fused:
+            x_fused = fused.solve()
+            fused_iters = fused.current_iter
+        with CGIterativeSparseSolver(A, b, r_tol=1e-10) as stepwise:
+            for _ in stepwise:
+                pass
+            x_step = stepwise.x
+            step_iters = stepwise.current_iter
+        self.assertEqual(fused.final_code, 0)
+        self.assertEqual(fused_iters, step_iters)
+        npt.assert_array_almost_equal(x_fused, x_step, decimal=10)
+
+    def test_cg_update_tmp_protocol(self):
+        """update_tmp applies the operator to the RCI work buffer
+        (tmp[1] = A @ tmp[0]), not to x."""
+        A, b = _spd_system()
+        with CGIterativeSparseSolver(A, b) as solver:
+            self.assertIsNone(solver.tmp)
+            solver.update_tmp()
+            self.assertEqual(solver.tmp.shape, (4, A.shape[0]))
+            solver.tmp[0] = b
+            out = solver.update_tmp()
+            npt.assert_array_almost_equal(out, A @ b)
+            npt.assert_array_almost_equal(solver.tmp[1], A @ b)
+
     def test_cg_guards(self):
         A, b = _spd_system()
         with self.assertRaises(ValueError):
