@@ -64,6 +64,15 @@ class _Config:
         # wins at low density; disable to force the densify/scatter
         # paths.
         self.ell_spmm_enabled = True
+        # Expansion budget (scalar products per row block) of the ESC
+        # sparse-output SpGEMM — bounds its device memory high-water
+        # mark (~40 bytes/slot transient).
+        self.spgemm_esc_block_elements = 1 << 22
+        # Force the ESC kernel for every sparse-output SpGEMM: its
+        # output pattern is structural (exactly-cancelled entries kept
+        # as explicit zeros, like MKL/scipy).  The default densify fast
+        # path cannot represent an explicit zero and drops them.
+        self.spgemm_exact_pattern = False
         # Ozaki-scheme f64 matmul (exact bf16 slice products on the
         # MXU instead of XLA's ~0.4 TF/s f64 emulation): "auto" enables
         # it on accelerator backends for large matmuls, "1"/"always"

@@ -770,3 +770,116 @@ def _extract_sparse_impl(c_dense, nnz):
 @jax.jit
 def count_nonzero(c_dense):
     return jnp.count_nonzero(c_dense)
+
+
+# ---------------------------------------------------------------------------
+# ESC SpGEMM (expand - sort - compress): true sparse-output kernel
+#
+# The reference's `mkl_sparse_spmm` allocates a sparse result of any
+# size inside MKL (``_sparse_sparse.py:21-44``).  XLA needs static
+# shapes, so the TPU-native answer is a row-blocked ESC pipeline whose
+# intermediate is the *expansion* (one slot per scalar product
+# a_ik * b_kj), never an m x n dense array:
+#
+#   1. expand: for every A-nonzero, gather the B-row it multiplies
+#      (pure gathers steered by a host-computed offset table),
+#   2. sort the (row * n + col) keys with the value payload co-sorted
+#      (one ``lax.sort`` — XLA's TPU sort),
+#   3. compress: segment-sum duplicates with log2(max-duplicates)
+#      exact elementwise doubling passes (no f64 scatter-add, which the
+#      X64 rewriter makes pathologically slow), then compact heads with
+#      sorted-unique set scatters (hi/lo split for f64).
+#
+# The output pattern is STRUCTURAL — numerically cancelled entries stay,
+# matching MKL/scipy — unlike the densify+extract fast path, which
+# cannot represent an explicit zero.
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("e_pad", "mb", "n", "nchan", "key64", "dup_passes",
+                     "triangular"),
+)
+def esc_spgemm_block(a_rows, a_cols, a_vals, offsets, e_total,
+                     b_indptr, b_indices, b_data, row_offset,
+                     e_pad, mb, n, nchan, key64, dup_passes,
+                     triangular=False):
+    """One row-block of the ESC SpGEMM; everything static-shaped.
+
+    a_rows/a_cols : (nnz_pad,) LOCAL row ids (pad rows = mb) / col ids.
+    a_vals, b_data : (nchan, nnz) value channels (2 for planar complex).
+    offsets : (nnz_pad + 1,) expansion prefix (offsets[j] = first slot of
+        A-nonzero j; padded tail pinned at e_total so no slot maps there).
+    e_total : scalar — live expansion slots (<= e_pad).
+    row_offset : scalar — global row of local row 0 (triangular masking).
+    dup_passes : ceil(log2(max duplicates of one key)) — host-known
+        bound: the max nnz of any A row in the block.
+
+    Returns (keys, vals..., count): compacted sorted unique keys
+    (row * n + col), per-channel summed values, and the live count.
+    """
+    kdt = jnp.int64 if key64 else jnp.int32
+    nnz_pad = a_rows.shape[0]
+    t = jnp.arange(e_pad, dtype=offsets.dtype)
+    j = jnp.clip(
+        jnp.searchsorted(offsets, t, side="right").astype(jnp.int32) - 1,
+        0, nnz_pad - 1,
+    )
+    valid = t < e_total
+    pos = (t - offsets[j]).astype(jnp.int32)
+    bpos = jnp.clip(
+        b_indptr[a_cols[j]].astype(jnp.int32) + pos,
+        0, b_indices.shape[0] - 1,
+    )
+    row = a_rows[j].astype(kdt)
+    col = b_indices[bpos].astype(kdt)
+    if triangular:
+        # Upper triangle of the GLOBAL product (gram/syrk fusion).
+        valid = valid & (col >= row + row_offset)
+    row = jnp.where(valid, row, mb)
+    key = row * n + jnp.where(valid, col, 0)
+
+    if nchan == 1:
+        v = a_vals[0][j] * b_data[0][bpos]
+        chans = (jnp.where(valid, v, 0),)
+    else:
+        ar, ai = a_vals[0][j], a_vals[1][j]
+        br, bi = b_data[0][bpos], b_data[1][bpos]
+        chans = (
+            jnp.where(valid, ar * br - ai * bi, 0),
+            jnp.where(valid, ar * bi + ai * br, 0),
+        )
+
+    sorted_ops = lax.sort((key,) + chans, dimension=0, num_keys=1)
+    skey, svals = sorted_ops[0], list(sorted_ops[1:])
+
+    svalid = skey < jnp.asarray(mb, kdt) * n
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), skey[1:] != skey[:-1]]
+    ) & svalid
+
+    # Exact in-segment suffix sums by doubling: after pass p, v[i] holds
+    # the sum of up to 2^(p+1) same-key elements starting at i.
+    for p in range(dup_passes):
+        sh = 1 << p
+        same = jnp.concatenate(
+            [skey[sh:] == skey[:-sh], jnp.zeros((sh,), jnp.bool_)]
+        )
+        for c in range(len(svals)):
+            shifted = jnp.concatenate(
+                [svals[c][sh:], jnp.zeros((sh,), svals[c].dtype)]
+            )
+            svals[c] = svals[c] + jnp.where(same, shifted, 0)
+
+    seg = prefix_sum(head) - 1  # segment id per element (heads define)
+    count = seg[-1] + 1
+    dest = jnp.where(head, seg, e_pad)
+
+    okey = jnp.zeros((e_pad,), kdt).at[dest].set(
+        skey, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+    outs = tuple(
+        sorted_set_scatter(dest, sv, e_pad) for sv in svals
+    )
+    return (okey,) + outs + (count.astype(jnp.int32),)

@@ -515,6 +515,174 @@ def _to_csr(container):
     return convert_container_to_csr(container)
 
 
+# ---------------------------------------------------------------------------
+# ESC SpGEMM driver (true sparse output, bounded memory)
+# ---------------------------------------------------------------------------
+
+
+def _value_channels(container, nchan):
+    """Container data -> tuple of real device channels.
+
+    nchan=1: (data,).  nchan=2: (re, im) — planar storage splits are
+    free; native complex splits on device; a real operand gets a zero
+    imaginary channel.
+    """
+    if nchan == 1:
+        return (container.data,)
+    if container.planar:
+        return (container.data[0], container.data[1])
+    if np.dtype(container.dtype).kind == "c":
+        return (jnp.real(container.data), jnp.imag(container.data))
+    return (container.data, jnp.zeros_like(container.data))
+
+
+def _pow2_bucket(x, lo=1 << 12):
+    b = lo
+    while b < x:
+        b <<= 1
+    return b
+
+
+def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
+    """A @ B -> (data, indices, indptr) host CSR via the row-blocked
+    expand-sort-compress kernel (:func:`_xla.esc_spgemm_block`).
+
+    This is the scaling path of ``mkl_sparse_spmm``'s any-size sparse
+    output (``/root/reference/sparse_dot_mkl/_sparse_sparse.py:21-44``):
+    device memory is bounded by the per-block expansion budget, never by
+    m x n, and the output pattern is structural (cancelled entries are
+    kept as explicit zeros, like MKL/scipy).
+    """
+    A = A if isinstance(A, formats.CSR) else _to_csr(A)
+    B = B if isinstance(B, formats.CSR) else _to_csr(B)
+    m, k = A.shape
+    n = B.shape[1]
+    nchan = 2 if np.dtype(out_dtype).kind == "c" else 1
+    real_dtype = np.dtype(out_dtype) if nchan == 1 else (
+        np.float32 if np.dtype(out_dtype) == np.complex64 else np.float64
+    )
+
+    # Host-side planning: expansion length of every A-nonzero.
+    a_indptr_np = np.asarray(A.indptr).astype(np.int64)
+    a_cols_np = np.asarray(A.indices).astype(np.int64)
+    b_indptr_np = np.asarray(B.indptr).astype(np.int64)
+    ext = b_indptr_np[a_cols_np + 1] - b_indptr_np[a_cols_np]
+    ext_cum = np.concatenate([[0], np.cumsum(ext)])
+    row_ext = ext_cum[a_indptr_np[1:]] - ext_cum[a_indptr_np[:-1]]
+    row_nnz = a_indptr_np[1:] - a_indptr_np[:-1]
+
+    budget = int(getattr(config, "spgemm_esc_block_elements", 1 << 22))
+    # Keys are local_row * n + col; int32 keys sort fastest, but when n
+    # is so wide that int32 would cap blocks at a few thousand rows
+    # (hundreds of extra dispatches), pay for int64 keys instead.
+    max_rows_i32 = max(1, ((1 << 31) - 1) // max(n, 1) - 1)
+    if max_rows_i32 >= (1 << 16):
+        row_cap, use_key64 = max_rows_i32, False
+    else:
+        row_cap, use_key64 = (1 << 22), True
+
+    rows_full = A.row_indices()
+    a_chans = _value_channels(A, nchan)
+    b_chans = jnp.stack(_value_channels(B, nchan))
+    b_indptr_dev = jnp.asarray(b_indptr_np.astype(np.int32)
+                               if B.indices.size < (1 << 31)
+                               else b_indptr_np)
+    b_indices_dev = B.indices
+
+    all_vals, all_cols = [], []
+    counts = np.zeros(m, dtype=np.int64)
+
+    lo = 0
+    while lo < m:
+        # Grow the block while the expansion stays under budget.
+        hi = lo + 1
+        e_blk = int(row_ext[lo])
+        while (
+            hi < m
+            and hi - lo < row_cap
+            and e_blk + int(row_ext[hi]) <= budget
+        ):
+            e_blk += int(row_ext[hi])
+            hi += 1
+        mb = hi - lo
+        plo, phi = int(a_indptr_np[lo]), int(a_indptr_np[hi])
+        nnz_blk = phi - plo
+
+        if e_blk == 0 or nnz_blk == 0:
+            lo = hi
+            continue
+
+        mb_bucket = _pow2_bucket(mb, lo=256)
+        e_pad = _pow2_bucket(e_blk)
+        nnz_pad = _pow2_bucket(nnz_blk, lo=1 << 10)
+        key64 = use_key64 or (mb_bucket + 1) * n >= (1 << 31)
+        max_dup = int(row_nnz[lo:hi].max())
+        dup_passes = max(0, int(np.ceil(np.log2(max(max_dup, 1)))))
+
+        # Device slices, padded to the bucket shapes.
+        rows_blk = rows_full[plo:phi].astype(jnp.int32) - lo
+        cols_blk = A.indices[plo:phi].astype(jnp.int32)
+        chans_blk = [c[plo:phi] for c in a_chans]
+        pad = nnz_pad - nnz_blk
+        if pad:
+            rows_blk = jnp.concatenate(
+                [rows_blk, jnp.full((pad,), mb_bucket, jnp.int32)]
+            )
+            cols_blk = jnp.concatenate(
+                [cols_blk, jnp.zeros((pad,), jnp.int32)]
+            )
+            chans_blk = [
+                jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
+                for c in chans_blk
+            ]
+        a_vals_blk = jnp.stack(chans_blk)
+
+        offsets = ext_cum[plo: phi + 1] - ext_cum[plo]
+        offsets = np.concatenate(
+            [offsets, np.full(nnz_pad - nnz_blk, e_blk, np.int64)]
+        ).astype(np.int32)
+
+        out = _xla.esc_spgemm_block(
+            rows_blk, cols_blk, a_vals_blk, jnp.asarray(offsets),
+            jnp.asarray(e_blk, jnp.int32),
+            b_indptr_dev, b_indices_dev, b_chans,
+            jnp.asarray(lo, jnp.int32),
+            e_pad=e_pad, mb=mb_bucket, n=n, nchan=nchan,
+            key64=key64, dup_passes=dup_passes, triangular=triangular,
+        )
+        okey, ovals, count = out[0], out[1:-1], out[-1]
+        cnt = int(count)  # one scalar sync per block
+        if cnt:
+            take = min(e_pad, _pow2_bucket(cnt, lo=1 << 14))
+            keys_np = np.asarray(okey[:take])[:cnt]
+            rows_np = (keys_np // n).astype(np.int64)
+            cols_np = keys_np - rows_np * n
+            counts[lo:hi] = np.bincount(rows_np, minlength=mb)[:mb]
+            if nchan == 1:
+                vals_np = np.asarray(ovals[0][:take])[:cnt]
+            else:
+                vals_np = (
+                    np.asarray(ovals[0][:take])[:cnt]
+                    + 1j * np.asarray(ovals[1][:take])[:cnt]
+                )
+            all_vals.append(vals_np.astype(out_dtype, copy=False))
+            all_cols.append(cols_np)
+        lo = hi
+
+    if not all_vals:
+        return (
+            np.zeros(0, dtype=out_dtype),
+            np.zeros(0, dtype=config.index_dtype),
+            np.zeros(m + 1, dtype=config.index_dtype),
+        )
+    data = np.concatenate(all_vals)
+    indices = np.concatenate(all_cols).astype(config.index_dtype)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(
+        config.index_dtype
+    )
+    return data, indices, indptr
+
+
 # Speculative output-size cache for the device-compaction path: keyed by
 # the operand patterns, validated against the count the numeric program
 # returns in-band.  In steady state (repeated products with the same
@@ -534,22 +702,40 @@ def _pattern_key(A, B, triangular):
 def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
     """A @ B -> (data, indices, indptr) host CSR arrays.
 
-    Two-phase under the hood: a one-dispatch numeric phase (dense
-    accumulation fused with the output nonzero count), the structural
-    sizing (cached speculatively, validated in-band), and compaction —
-    numpy for small products, a device cumsum/scatter program for large
-    ones.  ``triangular=True`` keeps only the upper triangle (syrk).
+    Path choice:
+
+    * ``config.spgemm_exact_pattern`` -> the ESC kernel always (its
+      output pattern is structural like MKL/scipy's; the densify paths
+      drop exactly-cancelled entries).
+    * small/medium products -> one-dispatch dense numeric phase fused
+      with the output count, then numpy (small) or device (medium)
+      compaction — the MXU fast path.
+    * huge products (dense intermediate over ``_BLOCKED_SPGEMM_BYTES``)
+      -> row-blocked dense numeric when a row block AND densified B
+      both fit comfortably, otherwise the ESC kernel, whose memory is
+      bounded by the expansion budget, never by m x n.
     """
     m, n = A.shape[0], B.shape[1]
+    k = A.shape[1]
     itemsize = np.dtype(out_dtype).itemsize
+
+    if getattr(config, "spgemm_exact_pattern", False):
+        return spgemm_esc_arrays(A, B, out_dtype, triangular=triangular)
 
     small = m * n * itemsize <= _HOST_EXTRACT_BYTES
     is_complex = (
         A.planar or B.planar or np.dtype(out_dtype).kind == "c"
     )
 
-    if not is_complex and m * n * itemsize > _BLOCKED_SPGEMM_BYTES:
-        return _blocked_spgemm_arrays(A, B, out_dtype, triangular)
+    if m * n * itemsize > _BLOCKED_SPGEMM_BYTES:
+        blocked_ok = (
+            not is_complex
+            and k * n * itemsize <= _BLOCKED_SPGEMM_BYTES  # dense B fits
+            and n * _SPGEMM_ROW_BLOCK * itemsize <= (512 << 20)
+        )
+        if blocked_ok:
+            return _blocked_spgemm_arrays(A, B, out_dtype, triangular)
+        return spgemm_esc_arrays(A, B, out_dtype, triangular=triangular)
 
     if is_complex or small:
         dense = spgemm_dense(A, B, out_dtype)

@@ -1,0 +1,201 @@
+"""ESC (expand-sort-compress) sparse-output SpGEMM.
+
+The scaling path of ``mkl_sparse_spmm``'s any-size sparse output
+(``/root/reference/sparse_dot_mkl/_sparse_sparse.py:21-44``): device
+memory bounded by the expansion budget, never by m x n, and a
+STRUCTURAL output pattern (cancelled entries kept, like MKL/scipy).
+"""
+
+import unittest
+
+import numpy as np
+import numpy.testing as npt
+import scipy.sparse as sps
+
+from sparse_dot_tpu import dot_product, formats, gram_matrix
+from sparse_dot_tpu.config import config
+from sparse_dot_tpu.ops import host as hops
+
+from .common import make_matrixes, np_almost_equal
+
+
+class TestESCKernel(unittest.TestCase):
+    """Direct kernel-level checks across dtypes / blocks / triangles."""
+
+    def setUp(self):
+        self.A, self.B = make_matrixes(300, 250, 200, 0.05)
+        self.Ad = formats.to_device(self.A)
+        self.Bd = formats.to_device(self.B)
+        self._budget = config.spgemm_esc_block_elements
+
+    def tearDown(self):
+        config.spgemm_esc_block_elements = self._budget
+        config.spgemm_exact_pattern = False
+
+    def _run(self, A, B, dtype, **kw):
+        data, idx, indptr = hops.spgemm_esc_arrays(
+            formats.to_device(A), formats.to_device(B), dtype, **kw
+        )
+        return sps.csr_matrix(
+            (data, idx, indptr), shape=(A.shape[0], B.shape[1])
+        )
+
+    def test_f64_matches_scipy(self):
+        C = self._run(self.A, self.B, np.float64)
+        oracle = self.A @ self.B
+        self.assertEqual(C.nnz, oracle.nnz)
+        np_almost_equal(C, oracle)
+
+    def test_f32(self):
+        C = self._run(
+            self.A.astype(np.float32), self.B.astype(np.float32),
+            np.float32,
+        )
+        np_almost_equal(C, self.A @ self.B, decimal=5)
+
+    def test_many_blocks_same_answer(self):
+        config.spgemm_esc_block_elements = 1 << 9  # force ~dozens of blocks
+        C = self._run(self.A, self.B, np.float64)
+        np_almost_equal(C, self.A @ self.B)
+
+    def test_triangular(self):
+        C = self._run(self.A, self.A.T.tocsc().tocsr(), np.float64,
+                      triangular=True)
+        np_almost_equal(C, np.triu((self.A @ self.A.T).toarray()))
+
+    def test_complex128(self):
+        Ac = (self.A + 1j * self.A.multiply(0.3)).tocsr()
+        Bc = (self.B - 2j * self.B).tocsr()
+        C = self._run(Ac, Bc, np.complex128)
+        np_almost_equal(C, Ac @ Bc)
+
+    def test_csc_operands(self):
+        C = self._run(self.A.tocsc(), self.B.tocsc(), np.float64)
+        np_almost_equal(C, self.A @ self.B)
+
+    def test_duplicate_heavy_rows(self):
+        # A dense-ish row multiplying a dense-ish B column exercises the
+        # doubling-pass segment sums at high duplicate counts.
+        A = sps.random(40, 60, density=0.6, format="csr",
+                       dtype=np.float64, random_state=3)
+        B = sps.random(60, 50, density=0.6, format="csr",
+                       dtype=np.float64, random_state=4)
+        C = self._run(A, B, np.float64)
+        np_almost_equal(C, A @ B)
+
+    def test_empty_product(self):
+        # Patterns that never meet: A hits only even columns, B has
+        # rows only at odd indices.
+        A = sps.csr_matrix(
+            (np.ones(3), np.array([0, 2, 4]), np.array([0, 1, 2, 3])),
+            shape=(3, 6),
+        )
+        B_dense = np.zeros((6, 2))
+        B_dense[1, 0] = 1.0
+        B_dense[3, 1] = 1.0
+        B = sps.csr_matrix(B_dense)
+        C = self._run(A, B, np.float64)
+        self.assertEqual(C.nnz, 0)
+        np_almost_equal(C, A @ B)
+
+
+class TestStructuralPattern(unittest.TestCase):
+    """Exact cancellation keeps a structural (explicit-zero) entry —
+    MKL/scipy behavior the densify fast path cannot represent."""
+
+    def tearDown(self):
+        config.spgemm_exact_pattern = False
+
+    def _cancelling_pair(self):
+        # Row 0 of A is [1, -1]; column 0 of B is [1; 1] -> C[0,0] == 0
+        # exactly, but structurally present.
+        A = sps.csr_matrix(np.array([[1.0, -1.0], [2.0, 0.0]]))
+        B = sps.csr_matrix(np.array([[1.0, 3.0], [1.0, 0.0]]))
+        return A, B
+
+    def test_esc_pattern_is_structural(self):
+        # MKL's spmm output is structural: C[0,0] is an explicit zero.
+        # (scipy prunes it, so the oracle here is the dense product plus
+        # the structural-count check.)
+        A, B = self._cancelling_pair()
+        config.spgemm_exact_pattern = True
+        C = dot_product(A, B)
+        self.assertEqual(C.nnz, 4)  # 3 values + 1 cancelled entry
+        self.assertEqual(C[0, 0], 0.0)
+        self.assertEqual(C.indptr[1] - C.indptr[0], 2)  # row 0 holds 2
+        np_almost_equal(C, A.toarray() @ B.toarray())
+
+    def test_default_path_drops_cancelled_entry(self):
+        # Documented divergence of the densify fast path: values match,
+        # the explicit zero is absent from the pattern (like scipy).
+        A, B = self._cancelling_pair()
+        C = dot_product(A, B)
+        self.assertEqual(C.nnz, 3)
+        np_almost_equal(C, A.toarray() @ B.toarray())
+
+
+class TestHugeRouting(unittest.TestCase):
+    """Products whose dense intermediate could never materialize."""
+
+    def test_million_square_spgemm(self):
+        # 1M x 1M: the dense intermediate would be 8 TB; the ESC path
+        # computes the true sparse product in bounded memory.
+        m = 1_000_000
+        rng = np.random.default_rng(7)
+        nnz = 2_000_000
+        A = sps.csr_matrix(
+            (
+                rng.standard_normal(nnz),
+                (
+                    rng.integers(0, m, nnz),
+                    rng.integers(0, m, nnz),
+                ),
+            ),
+            shape=(m, m),
+        )
+        A.sum_duplicates()
+        A.sort_indices()
+        C = dot_product(A, A)
+        oracle = A @ A
+        oracle.sort_indices()  # scipy's spgemm emits unsorted columns
+        self.assertEqual(C.nnz, oracle.nnz)
+        npt.assert_array_equal(C.indptr, oracle.indptr)
+        npt.assert_array_equal(C.indices, oracle.indices)
+        npt.assert_allclose(C.data, oracle.data, rtol=1e-12, atol=1e-12)
+
+    def test_wide_output_no_dense_block(self):
+        # Wide n with a big m*n: the old row-blocked path allocated
+        # 4096 x n dense blocks; force the routing thresholds down and
+        # check the ESC route answers correctly through the public API.
+        old_blocked = hops._BLOCKED_SPGEMM_BYTES
+        old_host = hops._HOST_EXTRACT_BYTES
+        hops._BLOCKED_SPGEMM_BYTES = 1 << 18
+        hops._HOST_EXTRACT_BYTES = 1 << 14
+        try:
+            A = sps.random(500, 300, density=0.02, format="csr",
+                           dtype=np.float64, random_state=8)
+            B = sps.random(300, 4000, density=0.02, format="csr",
+                           dtype=np.float64, random_state=9)
+            C = dot_product(A, B)
+            np_almost_equal(C, A @ B)
+        finally:
+            hops._BLOCKED_SPGEMM_BYTES = old_blocked
+            hops._HOST_EXTRACT_BYTES = old_host
+
+    def test_gram_huge_routes_esc(self):
+        old_blocked = hops._BLOCKED_SPGEMM_BYTES
+        old_host = hops._HOST_EXTRACT_BYTES
+        hops._BLOCKED_SPGEMM_BYTES = 1 << 18
+        hops._HOST_EXTRACT_BYTES = 1 << 14
+        try:
+            A = sps.random(300, 2000, density=0.02, format="csr",
+                           dtype=np.float64, random_state=10)
+            G = gram_matrix(A)
+            np_almost_equal(G, np.triu((A.T @ A).toarray()))
+        finally:
+            hops._BLOCKED_SPGEMM_BYTES = old_blocked
+            hops._HOST_EXTRACT_BYTES = old_host
+
+
+if __name__ == "__main__":
+    unittest.main()
