@@ -6,7 +6,12 @@ from .iterative import (
     cg,
     fgmres,
 )
-from .pardiso import pardiso, pardisoinit
+from .pardiso import (
+    pardiso,
+    pardisoinit,
+    export_factorization,
+    import_factorization,
+)
 from .qr import sparse_qr_solver
 
 __all__ = [
@@ -18,5 +23,7 @@ __all__ = [
     "fgmres",
     "pardiso",
     "pardisoinit",
+    "export_factorization",
+    "import_factorization",
     "sparse_qr_solver",
 ]

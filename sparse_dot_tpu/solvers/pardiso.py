@@ -215,6 +215,55 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
     return X, pt, perm, 0
 
 
+def export_factorization(pt):
+    """Serialize the factorization behind ``pt`` to a plain dict of
+    numpy arrays (picklable).
+
+    The reference's nearest analog is PARDISO's long-lived ``pt`` handle
+    (factor once, re-solve many times, ``_pardiso.py:32-45``) — but MKL
+    handles die with the process.  Here the factor state is a pytree of
+    device arrays, so it exports losslessly: pickle the returned dict,
+    reload with :func:`import_factorization`, and phase-33 solves
+    continue from the stored factor.
+    """
+    key = int(np.asarray(pt)[0])
+    state = _factor_store.get(key)
+    if state is None or "lu" not in state:
+        raise ValueError(
+            "pt does not reference a live factorization (run phase "
+            "12/13/22/23 first)"
+        )
+    lu, piv = state["lu"]
+    return {
+        "version": 1,
+        "lu": np.asarray(lu),
+        "piv": np.asarray(piv),
+        "embedded": bool(state["embedded"]),
+        "dtype": np.dtype(state["dtype"]).str,
+        "n": int(state.get("n", np.asarray(lu).shape[0])),
+        "structure_nnz": int(state.get("structure_nnz", 0)),
+    }
+
+
+def import_factorization(blob):
+    """Restore a factorization exported by :func:`export_factorization`;
+    returns a fresh ``pt`` block referencing it (solve with phase 33)."""
+    if not isinstance(blob, dict) or "lu" not in blob or "piv" not in blob:
+        raise ValueError("not a sparse_dot_tpu factorization export")
+    key = next(_next_key)
+    _factor_store[key] = {
+        "lu": (jnp.asarray(blob["lu"]), jnp.asarray(blob["piv"])),
+        "embedded": bool(blob["embedded"]),
+        "dtype": np.dtype(blob["dtype"]),
+        "n": int(blob["n"]),
+        "structure_nnz": int(blob.get("structure_nnz", 0)),
+    }
+    pt = np.zeros(64, dtype=np.int64)
+    pt[0] = key
+    pt[1] = int(blob["n"])
+    return pt
+
+
 def _fail(B, pt, perm, error, quiet):
     if not quiet and PARDISO_ERRORS.get(error):
         warnings.warn(

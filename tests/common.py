@@ -33,6 +33,34 @@ MATRIX_1_EMPTY = sps.csr_matrix((200, 300), dtype=np.float64)
 VECTOR = make_vector(300)
 
 
+class ForcePlanarMixin:
+    """Re-run a complex test class with planar complex storage forced.
+
+    On TPU every complex op executes the planar 4-product decomposition
+    (``formats._use_planar``); the CPU test backend has native complex,
+    so without this mixin the planar branches would never run under
+    coverage.  Mix in FIRST so setUp flips the switch before fixtures
+    build device containers.
+    """
+
+    def setUp(self):
+        from sparse_dot_tpu import formats as _formats
+        from sparse_dot_tpu.config import config as _config
+
+        self._planar_prev = _config.force_planar_complex
+        _config.force_planar_complex = True
+        _formats.clear_transfer_cache()  # cached containers are native
+        super().setUp()
+
+    def tearDown(self):
+        from sparse_dot_tpu import formats as _formats
+        from sparse_dot_tpu.config import config as _config
+
+        _config.force_planar_complex = self._planar_prev
+        _formats.clear_transfer_cache()
+        super().tearDown()
+
+
 def np_almost_equal(a, b, decimal=6):
     if sps.issparse(a):
         a = a.toarray()

@@ -105,5 +105,19 @@ class TestDenseDenseComplexFC(_ComplexMixin, TestDenseDenseFC):
     pass
 
 
+
+from .common import ForcePlanarMixin
+
+
+class TestDenseDenseComplexPlanar(ForcePlanarMixin, TestDenseDenseComplex):
+    pass
+
+
+class TestDenseDenseComplexFCPlanar(
+    ForcePlanarMixin, TestDenseDenseComplexFC
+):
+    pass
+
+
 if __name__ == "__main__":
     unittest.main()

@@ -1,220 +1,182 @@
-"""Gram matrix (syrk) suite — upper-triangular semantics, sparse/dense
-inputs and outputs, CSC-needs-cast rule; models the reference's
-``tests/test_gram_matrix.py``."""
+"""Gram matrix (syrk) behavior — upper-triangular output, ``dense=``,
+``out`` accumulation, the CSC-needs-cast rule, and complex rejection.
 
-import unittest
+Covers the same contract as the reference gram suite
+(``/root/reference/sparse_dot_mkl/_gram_matrix.py:252-335``) as a
+parametrized matrix over dtype x transpose x input kind instead of one
+class per axis.  Oracle: ``np.triu(op(A) @ op(A)^T-or-T)``.
+"""
 
 import numpy as np
+import numpy.testing as npt
+import pytest
 import scipy.sparse as sps
 
-from sparse_dot_tpu import gram_matrix_mkl
+from sparse_dot_tpu import gram_matrix
 
 from .common import MATRIX_1, np_almost_equal
 
-
-class TestGramMatrix(unittest.TestCase):
-    double_dtype = np.float64
-    single_dtype = np.float32
-    sparse_func = sps.csr_matrix
-
-    @classmethod
-    def setUpClass(cls):
-        cls.MATRIX_1 = cls.sparse_func(MATRIX_1.copy())
-
-    def setUp(self):
-        self.mat1 = self.MATRIX_1.copy()
-        self.mat1_d = self.MATRIX_1.toarray()
-
-        gram_ut = np.dot(self.mat1_d.T, self.mat1_d)
-        gram_ut[np.tril_indices(gram_ut.shape[0], k=-1)] = 0.0
-        self.gram_ut = gram_ut
-
-        gram_ut_t = np.dot(self.mat1_d, self.mat1_d.T)
-        gram_ut_t[np.tril_indices(gram_ut_t.shape[0], k=-1)] = 0.0
-        self.gram_ut_t = gram_ut_t
+DENSE_1 = MATRIX_1.toarray()
 
 
-class TestGramMatrixSparse(TestGramMatrix):
-    def test_gram_matrix_sp(self):
-        mat2 = gram_matrix_mkl(self.mat1)
-        np_almost_equal(mat2.toarray(), self.gram_ut)
+def _oracle(transpose, dtype):
+    d = DENSE_1.astype(dtype)
+    full = d @ d.T if transpose else d.T @ d
+    return np.triu(full)
 
-        with self.assertRaises(ValueError):
-            gram_matrix_mkl(
-                self.mat1,
-                out=np.zeros(
-                    (self.mat1.shape[0], self.mat1.shape[0]),
-                    dtype=self.double_dtype,
-                ),
-            )
 
-    def test_gram_matrix_sp_single(self):
-        mat2 = gram_matrix_mkl(self.mat1.astype(self.single_dtype))
-        np_almost_equal(mat2.toarray(), self.gram_ut, decimal=5)
+def _decimal(dtype):
+    return 5 if np.dtype(dtype) == np.float32 else 6
 
-    def test_gram_matrix_d_single(self):
-        mat2 = gram_matrix_mkl(
-            self.mat1.astype(self.single_dtype), dense=True
-        )
-        np_almost_equal(mat2, self.gram_ut, decimal=5)
 
-        mat2 = gram_matrix_mkl(
-            self.mat1.astype(self.single_dtype),
-            dense=True,
-            out=np.zeros(
-                (self.mat1.shape[1], self.mat1.shape[1]),
-                dtype=self.single_dtype,
-            ),
+DTYPES = [np.float64, np.float32]
+SPARSE_CLASSES = [sps.csr_matrix]
+if hasattr(sps, "csr_array"):
+    SPARSE_CLASSES.append(sps.csr_array)
+
+
+@pytest.mark.parametrize("dtype", DTYPES, ids=["f64", "f32"])
+@pytest.mark.parametrize("transpose", [False, True], ids=["ata", "aat"])
+@pytest.mark.parametrize(
+    "klass", SPARSE_CLASSES, ids=[c.__name__ for c in SPARSE_CLASSES]
+)
+def test_sparse_in_sparse_out(dtype, transpose, klass):
+    A = klass(MATRIX_1.astype(dtype))
+    got = gram_matrix(A, transpose=transpose)
+    assert sps.issparse(got)
+    np_almost_equal(got.toarray(), _oracle(transpose, dtype),
+                    decimal=_decimal(dtype))
+
+
+@pytest.mark.parametrize("dtype", DTYPES, ids=["f64", "f32"])
+@pytest.mark.parametrize("transpose", [False, True], ids=["ata", "aat"])
+def test_sparse_in_dense_out(dtype, transpose):
+    A = MATRIX_1.astype(dtype)
+    got = gram_matrix(A, transpose=transpose, dense=True)
+    np_almost_equal(got, _oracle(transpose, dtype),
+                    decimal=_decimal(dtype))
+
+
+@pytest.mark.parametrize("dtype", DTYPES, ids=["f64", "f32"])
+def test_sparse_dense_out_accumulate(dtype):
+    """dense=True with out: syrkd accumulates the FULL product into out
+    (the reference zeroes the lower triangle only on the out=None
+    path, ``_gram_matrix.py:164-169``)."""
+    A = MATRIX_1.astype(dtype)
+    n = A.shape[1]
+    out = np.zeros((n, n), dtype=dtype)
+    got = gram_matrix(A, dense=True, out=out, out_scalar=1.0)
+    assert got is out
+    got = got.copy()
+    got[np.tril_indices(n, k=-1)] = 0.0
+    np_almost_equal(got, _oracle(False, dtype), decimal=_decimal(dtype))
+
+
+def test_out_wrong_dtype_raises():
+    A = MATRIX_1.astype(np.float32)
+    with pytest.raises(ValueError):
+        gram_matrix(
+            A, dense=True,
+            out=np.zeros((A.shape[1], A.shape[1]), dtype=np.float64),
             out_scalar=1.0,
         )
-        mat2[np.tril_indices(mat2.shape[0], k=-1)] = 0.0
-        np_almost_equal(mat2, self.gram_ut, decimal=5)
 
-        with self.assertRaises(ValueError):
-            gram_matrix_mkl(
-                self.mat1.astype(self.single_dtype),
-                dense=True,
-                out=np.zeros((self.mat1.shape[1], self.mat1.shape[1])),
-                out_scalar=1.0,
-            )
 
-    def test_gram_matrix_d(self):
-        mat2 = gram_matrix_mkl(self.mat1, dense=True)
-        np_almost_equal(mat2, self.gram_ut)
-
-        mat2 = gram_matrix_mkl(
-            self.mat1,
-            dense=True,
-            out=np.zeros(
-                (self.mat1.shape[1], self.mat1.shape[1]),
-                dtype=self.double_dtype,
-            ),
-            out_scalar=1.0,
+def test_sparse_output_rejects_out():
+    with pytest.raises(ValueError):
+        gram_matrix(
+            MATRIX_1,
+            out=np.zeros((MATRIX_1.shape[0], MATRIX_1.shape[0])),
         )
-        mat2[np.tril_indices(mat2.shape[0], k=-1)] = 0.0
-        np_almost_equal(mat2, self.gram_ut)
-
-    def test_gram_matrix_sp_t(self):
-        mat2 = gram_matrix_mkl(self.mat1, transpose=True)
-        np_almost_equal(mat2.toarray(), self.gram_ut_t)
-
-    def test_gram_matrix_d_t(self):
-        mat2 = gram_matrix_mkl(self.mat1, dense=True, transpose=True)
-        np_almost_equal(mat2, self.gram_ut_t)
-
-    def test_gram_matrix_csc_sp(self):
-        mat2 = gram_matrix_mkl(self.mat1.tocsc(), cast=True)
-        np_almost_equal(mat2.toarray(), self.gram_ut)
-
-    def test_gram_matrix_csc_no_cast_raises(self):
-        with self.assertRaises(ValueError):
-            gram_matrix_mkl(self.mat1.tocsc())
-
-    def test_gram_matrix_complex_raises(self):
-        with self.assertRaises(ValueError):
-            gram_matrix_mkl(self.mat1.astype(np.cdouble))
-
-    def test_gram_matrix_csc_d(self):
-        mat = self.mat1.tocsc()
-        mat2 = gram_matrix_mkl(mat, dense=True, cast=True)
-        np_almost_equal(mat.toarray(), self.mat1.toarray())
-        np_almost_equal(mat2, self.gram_ut)
 
 
-class TestGramMatrixDense(TestGramMatrix):
-    def test_gram_matrix_dd_double(self):
-        mat2 = gram_matrix_mkl(self.mat1.toarray(), dense=True)
-        np_almost_equal(mat2, self.gram_ut)
-
-        mat2 = gram_matrix_mkl(
-            self.mat1.toarray(),
-            dense=True,
-            out=np.zeros(
-                (self.mat1.shape[1], self.mat1.shape[1]),
-                dtype=self.double_dtype,
-            ),
-            out_scalar=1.0,
-        )
-        np_almost_equal(mat2, self.gram_ut)
-
-    def test_gram_matrix_dd_single(self):
-        mat2 = gram_matrix_mkl(
-            self.mat1.astype(self.single_dtype).toarray(), dense=True
-        )
-        np_almost_equal(mat2, self.gram_ut, decimal=5)
-
-    def test_gram_matrix_dd_double_F(self):
-        mat2 = gram_matrix_mkl(
-            np.asarray(self.mat1.toarray(), order="F"), dense=True
-        )
-        np_almost_equal(mat2, self.gram_ut)
-
-        mat2 = gram_matrix_mkl(
-            np.asarray(self.mat1.toarray(), order="F"),
-            dense=True,
-            out=np.zeros(
-                (self.mat1.shape[1], self.mat1.shape[1]),
-                dtype=self.double_dtype,
-                order="F",
-            ),
-            out_scalar=1.0,
-        )
-        np_almost_equal(mat2, self.gram_ut)
-
-    def test_gram_matrix_dd_transpose(self):
-        mat2 = gram_matrix_mkl(
-            self.mat1.toarray(), dense=True, transpose=True
-        )
-        np_almost_equal(mat2, self.gram_ut_t)
+@pytest.mark.parametrize("dense", [False, True], ids=["sparse", "dense"])
+def test_csc_requires_cast(dense):
+    csc = MATRIX_1.tocsc()
+    with pytest.raises(ValueError):
+        gram_matrix(csc, dense=dense)
+    got = gram_matrix(csc, dense=dense, cast=True)
+    got = got.toarray() if sps.issparse(got) else got
+    np_almost_equal(got, _oracle(False, np.float64))
+    # the input must not have been mutated
+    np_almost_equal(csc.toarray(), DENSE_1)
 
 
-try:
-    from scipy.sparse import csr_array
-
-    class TestGramMatrixSparseArray(TestGramMatrixSparse):
-        sparse_func = csr_array
-
-except ImportError:
-    pass
+def test_complex_rejected():
+    with pytest.raises(ValueError):
+        gram_matrix(MATRIX_1.astype(np.complex128))
 
 
-if __name__ == "__main__":
-    unittest.main()
+def test_bsr_rejected():
+    with pytest.raises(ValueError):
+        gram_matrix(MATRIX_1.tobsr(blocksize=(10, 10)))
 
 
-class TestSypr(unittest.TestCase):
-    """Triple-product AᵀBA / ABAᵀ — working version of the reference's
-    dead `_sparse_sypr.py` driver."""
+# -- dense input (cblas_?syrk analog) ---------------------------------------
 
-    def setUp(self):
+
+@pytest.mark.parametrize("dtype", DTYPES, ids=["f64", "f32"])
+@pytest.mark.parametrize("order", ["C", "F"])
+@pytest.mark.parametrize("transpose", [False, True], ids=["ata", "aat"])
+def test_dense_input(dtype, order, transpose):
+    d = np.asarray(DENSE_1.astype(dtype), order=order)
+    got = gram_matrix(d, dense=True, transpose=transpose)
+    np_almost_equal(got, _oracle(transpose, dtype),
+                    decimal=_decimal(dtype))
+
+
+@pytest.mark.parametrize("order", ["C", "F"])
+def test_dense_input_out_accumulate(order):
+    d = np.asarray(DENSE_1, order=order)
+    n = d.shape[1]
+    out = np.zeros((n, n), order=order)
+    got = gram_matrix(d, dense=True, out=out, out_scalar=1.0)
+    assert got is out
+    np_almost_equal(got, _oracle(False, np.float64))
+
+
+def test_empty_input_shape_rule():
+    # The reference's empty path uses the transposed selector for the
+    # output shape (``_gram_matrix.py:269-274``) — preserved quirk.
+    empty = sps.csr_matrix((200, 300), dtype=np.float64)
+    got = gram_matrix(empty)
+    assert got.shape == (200, 200)
+    got_t = gram_matrix(empty, transpose=True)
+    assert got_t.shape == (300, 300)
+
+
+# -- SYPR triple product (working version of the reference's dead
+#    ``_sparse_sypr.py`` driver) --------------------------------------------
+
+
+class TestSypr:
+    def setup_method(self):
         self.A = MATRIX_1.copy()
         m = self.A.shape[0]
-        import scipy.sparse as _s
-        B = _s.random(m, m, density=0.1, format="csr", random_state=7)
+        B = sps.random(m, m, density=0.1, format="csr", random_state=7)
         self.B = (B + B.T).tocsr()
 
     def test_sypr_atba(self):
         from sparse_dot_tpu import sypr
 
         got = sypr(self.A, self.B)
-        ref = self.A.toarray().T @ self.B.toarray() @ self.A.toarray()
+        ref = DENSE_1.T @ self.B.toarray() @ DENSE_1
         np_almost_equal(got.toarray(), np.triu(ref))
 
     def test_sypr_abat(self):
         from sparse_dot_tpu import sypr
 
-        import scipy.sparse as _s
         k = self.A.shape[1]
-        B = _s.random(k, k, density=0.1, format="csr", random_state=8)
+        B = sps.random(k, k, density=0.1, format="csr", random_state=8)
         B = (B + B.T).tocsr()
         got = sypr(self.A, B, transpose=True, dense=True)
-        ref = self.A.toarray() @ B.toarray() @ self.A.toarray().T
+        ref = DENSE_1 @ B.toarray() @ DENSE_1.T
         np_almost_equal(got, np.triu(ref))
 
     def test_sypr_guards(self):
         from sparse_dot_tpu import sypr
 
-        with self.assertRaises(ValueError):
+        with pytest.raises(ValueError):
             sypr(self.A.tocoo(), self.B)
-        with self.assertRaises(ValueError):
+        with pytest.raises(ValueError):
             sypr(self.A, self.B, transpose=True)  # shape mismatch

@@ -133,5 +133,44 @@ class TestHandles(unittest.TestCase):
             matmul_handles(sparse_handle_t(), sparse_handle_t())
 
 
+class TestHandlesPlanarComplex(unittest.TestCase):
+    """Handle round-trips with planar complex storage forced (the TPU
+    representation): create/export and the device CSC->CSR conversion
+    must preserve complex values bit-for-bit through the split."""
+
+    def setUp(self):
+        from sparse_dot_tpu.config import config
+        from sparse_dot_tpu import formats
+
+        self._prev = config.force_planar_complex
+        config.force_planar_complex = True
+        formats.clear_transfer_cache()
+        self.mat = (MATRIX_1 + 1j * MATRIX_1.multiply(0.25)).tocsr()
+        self.mat = self.mat.astype(np.complex128)
+
+    def tearDown(self):
+        from sparse_dot_tpu.config import config
+        from sparse_dot_tpu import formats
+
+        config.force_planar_complex = self._prev
+        formats.clear_transfer_cache()
+
+    def test_planar_create_export_roundtrip(self):
+        handle, dbl, cplx = create_sparse_handle(self.mat)
+        self.assertTrue(handle.container.planar)
+        self.assertTrue(dbl and cplx)
+        back = export_sparse_handle(handle, output_type="csr_matrix")
+        npt.assert_array_equal(back.toarray(), self.mat.toarray())
+
+    def test_planar_convert_csc_to_csr(self):
+        handle, _, _ = create_sparse_handle(self.mat.tocsc())
+        csr_handle = convert_to_csr(handle)
+        self.assertTrue(csr_handle.container.planar)
+        back = export_sparse_handle(csr_handle, output_type="csr_matrix")
+        npt.assert_array_almost_equal(
+            back.toarray(), self.mat.toarray(), decimal=12
+        )
+
+
 if __name__ == "__main__":
     unittest.main()

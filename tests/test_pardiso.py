@@ -1,167 +1,172 @@
-"""PARDISO-protocol suite — phase semantics and cross-validation against
-the QR solver; models the reference's ``tests/test_pardiso.py``."""
+"""PARDISO phase-protocol behavior.
 
-import unittest
+Contract (``/root/reference/sparse_dot_mkl/solvers/_pardiso.py:32-223``):
+``pardisoinit`` fills the flag block; phase 11 mutates ``pt`` but leaves
+X zero; 12/22 factorize; 13 solves; 33 re-solves from a stored factor;
+negative phases release.  Oracles: ``np.linalg.solve`` and the package's
+own QR solver.  One parametrized fixture covers the real/complex x
+single/double grid the reference spells out as four classes.
+"""
+
+import pickle
 
 import numpy as np
 import numpy.testing as npt
+import pytest
 
+from sparse_dot_tpu import sparse_qr_solve
 from sparse_dot_tpu.solvers import pardiso, pardisoinit
-from sparse_dot_tpu import sparse_qr_solve_mkl
 
 from .common import make_matrixes
 
-A, B = make_matrixes(50, 10, 50, 0.2)
-B = B.toarray()
-A.sort_indices()
+_A, _B = make_matrixes(50, 10, 50, 0.2)
+_A.sort_indices()
+_B = _B.toarray()
+
+GRID = [
+    (np.float32, 11, True, False),
+    (np.float64, 11, False, False),
+    (np.complex64, 13, True, False),
+    (np.complex128, 13, False, False),
+    # Planar storage: the path complex systems take on TPU (real 2n x 2n
+    # embedding behind the planar container).
+    (np.complex64, 13, True, True),
+    (np.complex128, 13, False, True),
+]
+GRID_IDS = ["f32", "f64", "c64", "c128", "c64-planar", "c128-planar"]
 
 
-class TestPARDISO(unittest.TestCase):
-    dtype = np.float32
-    mtype = 11
-    single_precision = True
+@pytest.fixture(params=GRID, ids=GRID_IDS)
+def case(request):
+    from sparse_dot_tpu import formats
+    from sparse_dot_tpu.config import config
 
-    def setUp(self):
-        self.pt, self.iparm = pardisoinit(
-            self.mtype, single_precision=self.single_precision
-        )
-
-    def test_pardiso_init(self):
-        npt.assert_equal(self.pt, np.zeros_like(self.pt))
-
-        _iparm_init = np.zeros_like(self.iparm)
-        _iparm_init[0] = 1
-        _iparm_init[1] = 2
-        _iparm_init[9] = 13
-        _iparm_init[[10, 12, 34]] = 1
-        _iparm_init[[17, 18]] = -1
-        if self.single_precision:
-            _iparm_init[27] = 1
-        npt.assert_equal(self.iparm, _iparm_init)
-
-    def test_pardiso_analysis(self):
-        X, pt, perm, error = pardiso(
-            A.astype(self.dtype),
-            B[:, 0].astype(self.dtype),
-            self.pt,
-            self.mtype,
-            self.iparm,
-            11,
-        )
-        self.assertEqual(error, 0)
-        npt.assert_array_almost_equal(X, np.zeros_like(X))
-        npt.assert_array_almost_equal(perm, np.zeros_like(perm))
-        with self.assertRaises(AssertionError):
-            npt.assert_equal(pt, np.zeros_like(pt))
-
-    def test_pardiso_solve(self):
-        X, pt, perm, error = pardiso(
-            A.astype(self.dtype),
-            B[:, 0].astype(self.dtype),
-            self.pt,
-            self.mtype,
-            self.iparm,
-            13,
-        )
-        self.assertEqual(error, 0)
-        with self.assertRaises(AssertionError):
-            npt.assert_array_almost_equal(X, np.zeros_like(X))
-        with self.assertRaises(AssertionError):
-            npt.assert_equal(pt, np.zeros_like(pt))
-
-        if self.mtype == 11:
-            QR_X = sparse_qr_solve_mkl(
-                A.astype(self.dtype), B[:, 0].astype(self.dtype)
-            )
-        else:
-            _real_B = np.ascontiguousarray(B[:, 0].astype(self.dtype).real)
-            QR_X = np.zeros_like(X)
-            QR_X.real = sparse_qr_solve_mkl(
-                A.astype(_real_B.dtype), _real_B
-            )
-
-        npt.assert_array_almost_equal(X, QR_X, decimal=3)
-
-    def test_pardiso_solve_mrhs(self):
-        X, pt, perm, error = pardiso(
-            A.astype(self.dtype),
-            B.astype(self.dtype),
-            self.pt,
-            self.mtype,
-            self.iparm,
-            13,
-        )
-        self.assertEqual(error, 0)
-        with self.assertRaises(AssertionError):
-            npt.assert_array_almost_equal(X, np.zeros_like(X))
-        with self.assertRaises(AssertionError):
-            npt.assert_equal(pt, np.zeros_like(pt))
-
-    def test_pardiso_factor_then_solve(self):
-        a = A.astype(self.dtype)
-        b = B[:, 0].astype(self.dtype)
-        _, pt, _, error = pardiso(
-            a, b, self.pt, self.mtype, self.iparm, 12
-        )
-        self.assertEqual(error, 0)
-        X, pt, _, error = pardiso(
-            a, b, pt, self.mtype, self.iparm, 33
-        )
-        self.assertEqual(error, 0)
-        oracle = np.linalg.solve(a.toarray().astype(np.complex128
-                                                    if np.iscomplexobj(b)
-                                                    else np.float64),
-                                 b.astype(np.complex128
-                                          if np.iscomplexobj(b)
-                                          else np.float64))
-        npt.assert_array_almost_equal(X, oracle, decimal=3)
-
-    def test_pardiso_release(self):
-        _, pt, _, error = pardiso(
-            A.astype(self.dtype),
-            B[:, 0].astype(self.dtype),
-            self.pt,
-            self.mtype,
-            self.iparm,
-            13,
-        )
-        _, pt, _, error = pardiso(
-            A.astype(self.dtype),
-            B[:, 0].astype(self.dtype),
-            pt,
-            self.mtype,
-            self.iparm,
-            -1,
-        )
-        self.assertEqual(error, 0)
-        npt.assert_equal(pt, np.zeros_like(pt))
-
-    def test_pardiso_guards(self):
-        with self.assertRaises(ValueError):
-            pardiso(
-                A.tocoo(), B, self.pt, self.mtype, self.iparm, 13
-            )
-        with self.assertRaises(ValueError):
-            pardiso(A, A, self.pt, self.mtype, self.iparm, 13)
+    dtype, mtype, single, planar = request.param
+    prev = config.force_planar_complex
+    config.force_planar_complex = planar
+    formats.clear_transfer_cache()
+    pt, iparm = pardisoinit(mtype, single_precision=single)
+    yield {
+        "A": _A.astype(dtype),
+        "b": _B[:, 0].astype(dtype),
+        "B": _B.astype(dtype),
+        "pt": pt,
+        "iparm": iparm,
+        "mtype": mtype,
+        "single": single,
+        "dtype": dtype,
+    }
+    config.force_planar_complex = prev
+    formats.clear_transfer_cache()
 
 
-class TestPARDISODouble(TestPARDISO):
-    dtype = np.float64
-    mtype = 11
-    single_precision = False
+def _dense_oracle(case):
+    work = np.complex128 if np.iscomplexobj(case["b"]) else np.float64
+    return np.linalg.solve(
+        case["A"].toarray().astype(work), case["b"].astype(work)
+    )
 
 
-class TestPARDISOSingleComplex(TestPARDISO):
-    dtype = np.complex64
-    mtype = 13
-    single_precision = True
+def test_init_flags(case):
+    assert not case["pt"].any()
+    ip = case["iparm"]
+    assert ip[0] == 1 and ip[1] == 2 and ip[9] == 13
+    assert ip[10] == 1 and ip[12] == 1
+    assert ip[17] == -1 and ip[18] == -1
+    assert ip[34] == 1  # zero-based indexing
+    assert ip[27] == (1 if case["single"] else 0)
 
 
-class TestPARDISODoubleComplex(TestPARDISO):
-    dtype = np.complex128
-    mtype = 13
-    single_precision = False
+def test_phase11_mutates_pt_only(case):
+    X, pt, perm, err = pardiso(
+        case["A"], case["b"], case["pt"], case["mtype"], case["iparm"], 11
+    )
+    assert err == 0
+    assert pt.any()                      # analysis stored a handle
+    assert not X.any()                   # ... but no solve happened
+    assert not perm.any()                # perm untouched
 
 
-if __name__ == "__main__":
-    unittest.main()
+def test_phase13_solves(case):
+    X, pt, _, err = pardiso(
+        case["A"], case["b"], case["pt"], case["mtype"], case["iparm"], 13
+    )
+    assert err == 0
+    assert X.any() and pt.any()
+    npt.assert_array_almost_equal(X, _dense_oracle(case), decimal=3)
+
+
+def test_phase13_cross_checks_qr(case):
+    X, _, _, err = pardiso(
+        case["A"], case["b"], case["pt"], case["mtype"], case["iparm"], 13
+    )
+    assert err == 0
+    if case["mtype"] == 11:
+        qr = sparse_qr_solve(case["A"], case["b"])
+    else:
+        rb = np.ascontiguousarray(case["b"].real)
+        qr = np.zeros_like(X)
+        qr.real = sparse_qr_solve(case["A"].real.tocsr().astype(rb.dtype),
+                                  rb)
+    npt.assert_array_almost_equal(X.real, qr.real, decimal=3)
+
+
+def test_multiple_rhs(case):
+    X, pt, _, err = pardiso(
+        case["A"], case["B"], case["pt"], case["mtype"], case["iparm"], 13
+    )
+    assert err == 0 and X.shape == case["B"].shape and X.any()
+
+
+def test_factor_then_resolve(case):
+    _, pt, _, err = pardiso(
+        case["A"], case["b"], case["pt"], case["mtype"], case["iparm"], 12
+    )
+    assert err == 0
+    X, pt, _, err = pardiso(
+        case["A"], case["b"], pt, case["mtype"], case["iparm"], 33
+    )
+    assert err == 0
+    npt.assert_array_almost_equal(X, _dense_oracle(case), decimal=3)
+
+
+def test_release_clears_pt(case):
+    _, pt, _, _ = pardiso(
+        case["A"], case["b"], case["pt"], case["mtype"], case["iparm"], 13
+    )
+    _, pt, _, err = pardiso(
+        case["A"], case["b"], pt, case["mtype"], case["iparm"], -1
+    )
+    assert err == 0
+    assert not pt.any()
+
+
+def test_guards():
+    pt, iparm = pardisoinit(11)
+    with pytest.raises(ValueError):
+        pardiso(_A.tocoo(), _B, pt, 11, iparm, 13)
+    with pytest.raises(ValueError):
+        pardiso(_A, _A, pt, 11, iparm, 13)  # sparse B rejected
+
+
+def test_factorization_roundtrips_through_pickle(case):
+    """The factor store serializes: factor once, export, reload in a
+    'fresh process' (cleared store), and phase-33 solves still match —
+    the persistence analog of MKL's long-lived pt handles."""
+    from sparse_dot_tpu.solvers import (
+        export_factorization,
+        import_factorization,
+    )
+
+    _, pt, _, err = pardiso(
+        case["A"], case["b"], case["pt"], case["mtype"], case["iparm"], 12
+    )
+    assert err == 0
+    blob = pickle.dumps(export_factorization(pt))
+
+    pt2 = import_factorization(pickle.loads(blob))
+    X, _, _, err = pardiso(
+        case["A"], case["b"], pt2, case["mtype"], case["iparm"], 33
+    )
+    assert err == 0
+    npt.assert_array_almost_equal(X, _dense_oracle(case), decimal=3)

@@ -1,201 +1,190 @@
-"""Dtype policy, failure conditions, and empty conditions — models the
-reference's ``TestTypeConversions1-7`` / ``TestFailureConditions`` /
-``TestEmptyConditions`` (``tests/test_mkl.py:70-385``)."""
+"""Behavioral-contract layer: dtype policy, rejection rules, empty
+short-circuits.
 
-import unittest
+Same contract as the reference's policy layer
+(``/root/reference/sparse_dot_mkl/_mkl_interface/_common.py:773-866``,
+``:1003-1024``) — float32/float64/complex64/complex128 only, equal
+dtypes pass by reference, cast=True upcasts along the documented table,
+invalid inputs raise — expressed as a parametrized table rather than
+one class per dtype pair.
+"""
 
 import numpy as np
 import numpy.testing as npt
+import pytest
 import scipy.sparse as sps
 
-from sparse_dot_tpu import dot_product_mkl, to_device
-from sparse_dot_tpu.policy import type_check
+from sparse_dot_tpu import dot_product, to_device
+from sparse_dot_tpu.policy import (
+    empty_result_dtype,
+    output_dtype,
+    type_check,
+)
 
 from .common import MATRIX_1, MATRIX_2, MATRIX_1_EMPTY, VECTOR
 
 
-class TestEmptyConditions(unittest.TestCase):
-    def setUp(self):
-        self.mat1 = MATRIX_1_EMPTY.copy()
-        self.mat2 = MATRIX_2.copy()
-        self.mat1_d = np.asarray(MATRIX_1_EMPTY.todense(), order="C")
-        self.mat2_d = np.asarray(MATRIX_2.todense(), order="C")
-        self.mat1_zero = np.zeros((0, 300))
+# ---------------------------------------------------------------------------
+# dtype policy table
+# ---------------------------------------------------------------------------
 
-    def test_sparse_sparse(self):
-        mat3 = dot_product_mkl(self.mat1, self.mat2)
-        npt.assert_array_almost_equal(
-            np.dot(self.mat1_d, self.mat2_d), mat3.toarray()
-        )
-
-    def test_sparse_dense(self):
-        mat3 = dot_product_mkl(self.mat1, self.mat2_d)
-        npt.assert_array_almost_equal(
-            np.dot(self.mat1_d, self.mat2_d), mat3
-        )
-
-    def test_sparse_vector(self):
-        mat3 = dot_product_mkl(self.mat1, self.mat2_d[:, 0])
-        npt.assert_array_almost_equal(
-            np.dot(self.mat1_d, self.mat2_d[:, 0]), mat3
-        )
-
-    def test_dense_dense(self):
-        mat3 = dot_product_mkl(self.mat1_zero, self.mat2_d)
-        npt.assert_array_almost_equal(
-            np.dot(self.mat1_zero, self.mat2_d), mat3
-        )
+# (a_dtype, b_dtype, expected result dtype with cast=True,
+#  a copied?, b copied?)
+CAST_TABLE = [
+    (np.float32, np.float32, np.float32, False, False),
+    (np.float64, np.float64, np.float64, False, False),
+    (np.complex64, np.complex64, np.complex64, False, False),
+    (np.complex128, np.complex128, np.complex128, False, False),
+    # mixed reals -> float64
+    (np.float32, np.float64, np.float64, True, False),
+    (np.float64, np.float32, np.float64, False, True),
+    # mixed complex -> complex128
+    (np.complex64, np.complex128, np.complex128, True, False),
+    # real + complex -> the complex operand's dtype
+    (np.float32, np.complex128, np.complex128, True, False),
+    (np.float64, np.complex64, np.complex64, True, False),
+    (np.complex64, np.float64, np.complex64, False, True),
+    # non-float dtypes cast to float64 even when equal
+    (np.int32, np.int32, np.float64, True, True),
+    (np.int32, np.int64, np.float64, True, True),
+    (np.int64, np.float32, np.float64, True, True),
+    # unsupported float widths normalize to the double variants
+    (np.clongdouble, np.clongdouble, np.complex128, True, True),
+]
 
 
-class TestFailureConditions(unittest.TestCase):
-    def setUp(self):
-        self.mat1 = MATRIX_1.copy()
-        self.mat2 = MATRIX_2.copy()
-        self.vec = VECTOR.copy()
-
-    def test_device_container_bad_type(self):
-        with self.assertRaises(ValueError):
-            to_device(self.mat1.tocoo())
-        with self.assertRaises(ValueError):
-            to_device(self.mat1.astype(np.int64))
-
-    def test_3d_matrixes(self):
-        d1 = self.mat1.toarray().reshape(200, 300, 1)
-        d2 = self.mat2.toarray().reshape(300, 100, 1)
-        with self.assertRaises(ValueError):
-            dot_product_mkl(d1, d2)
-        with self.assertRaises(ValueError):
-            dot_product_mkl(d1, self.mat2)
-        with self.assertRaises(ValueError):
-            dot_product_mkl(self.mat1, d2)
-
-    def test_bad_shapes(self):
-        with self.assertRaises(ValueError):
-            dot_product_mkl(self.vec.reshape(-1, 1), self.mat2)
-        with self.assertRaises(ValueError):
-            dot_product_mkl(self.mat1, self.vec.reshape(1, -1))
-        with self.assertRaises(ValueError):
-            dot_product_mkl(self.vec.reshape(-1, 1), self.vec.reshape(-1, 1))
-        with self.assertRaises(ValueError):
-            dot_product_mkl(self.mat1.transpose(), self.mat2)
-        with self.assertRaises(ValueError):
-            dot_product_mkl(self.vec[100:], self.vec)
-
-    def test_bsr_not_square_blocks(self):
-        with self.assertRaises(ValueError):
-            to_device(self.mat1.tobsr(blocksize=(10, 5)))
+@pytest.mark.parametrize(
+    "a_dt,b_dt,want,a_copied,b_copied", CAST_TABLE,
+    ids=lambda v: getattr(v, "__name__", str(v)),
+)
+def test_cast_table(a_dt, b_dt, want, a_copied, b_copied):
+    a = MATRIX_1.astype(a_dt)
+    b = MATRIX_2.astype(b_dt)
+    out_a, out_b = type_check(a, b, cast=True)
+    assert out_a.dtype == np.dtype(want)
+    assert out_b.dtype == np.dtype(want)
+    # no-copy paths really return the same object (the reference's
+    # id()-identity contract)
+    assert (out_a is not a) == a_copied
+    assert (out_b is not b) == b_copied
 
 
-class TestTypeConversions(unittest.TestCase):
-    dtype = np.float32
-    cast_dtype = np.float64
-
-    final_dtype = None
-    always_cast = False
-
-    def setUp(self):
-        self.mat1 = MATRIX_1.copy()
-        self.mat2 = MATRIX_2.copy()
-
-    def test_valid_pairs(self):
-        a = self.mat1.astype(self.dtype)
-        b = self.mat2.astype(self.dtype)
-        c, d = type_check(a, b, cast=self.always_cast)
-
-        if self.always_cast:
-            self.assertNotEqual(id(a), id(c))
-            self.assertNotEqual(id(b), id(d))
-        else:
-            self.assertEqual(id(a), id(c))
-            self.assertEqual(id(b), id(d))
-
-        fd = self.final_dtype if self.final_dtype is not None else self.dtype
-        self.assertEqual(c.dtype, fd)
-        self.assertEqual(d.dtype, fd)
-
-    def test_cast_pairs_right(self):
-        a = self.mat1.astype(self.dtype)
-        b = self.mat2.astype(self.cast_dtype)
-
-        with self.assertRaises(ValueError):
-            type_check(a, b)
-
-        c, d = type_check(a, b, cast=True)
-        self.assertNotEqual(id(a), id(c))
-        if self.always_cast:
-            self.assertNotEqual(id(b), id(d))
-        else:
-            self.assertEqual(id(b), id(d))
-
-        fd = (
-            self.final_dtype
-            if self.final_dtype is not None
-            else self.cast_dtype
-        )
-        self.assertEqual(c.dtype, fd)
-        self.assertEqual(d.dtype, fd)
-
-    def test_cast_pairs_left(self):
-        a = self.mat1.astype(self.cast_dtype)
-        b = self.mat2.astype(self.dtype)
-
-        with self.assertRaises(ValueError):
-            type_check(a, b)
-
-        c, d = type_check(a, b, cast=True)
-        if self.always_cast:
-            self.assertNotEqual(id(a), id(c))
-        else:
-            self.assertEqual(id(a), id(c))
-        self.assertNotEqual(id(b), id(d))
-
-        fd = (
-            self.final_dtype
-            if self.final_dtype is not None
-            else self.cast_dtype
-        )
-        self.assertEqual(c.dtype, fd)
-        self.assertEqual(d.dtype, fd)
+@pytest.mark.parametrize(
+    "a_dt,b_dt",
+    [p[:2] for p in CAST_TABLE if p[3] or p[4]],
+    ids=lambda v: getattr(v, "__name__", str(v)),
+)
+def test_mismatch_without_cast_raises(a_dt, b_dt):
+    with pytest.raises(ValueError):
+        type_check(MATRIX_1.astype(a_dt), MATRIX_2.astype(b_dt),
+                   cast=False)
 
 
-class TestTypeConversions2(TestTypeConversions):
-    dtype = np.csingle
-    cast_dtype = np.cdouble
+def test_single_operand_policy():
+    a64 = MATRIX_1.astype(np.float64)
+    assert type_check(a64) is a64
+    assert type_check(MATRIX_1.astype(np.int32), cast=True).dtype == (
+        np.float64
+    )
+    with pytest.raises(ValueError):
+        type_check(MATRIX_1.astype(np.int32))
+    with pytest.raises(ValueError):
+        type_check(MATRIX_1.astype(np.complex128), allow_complex=False)
 
 
-class TestTypeConversions3(TestTypeConversions):
-    dtype = np.float32
-    cast_dtype = np.cdouble
+def test_output_dtype_rule():
+    assert output_dtype(
+        MATRIX_1.astype(np.float32), MATRIX_2.astype(np.float64)
+    ) == np.float64
+    assert output_dtype(
+        MATRIX_1.astype(np.float32), MATRIX_2.astype(np.complex64)
+    ) == np.complex64
+    assert empty_result_dtype(
+        MATRIX_1.astype(np.float32), MATRIX_2.astype(np.float32)
+    ) == np.float32
+    assert empty_result_dtype(
+        MATRIX_1.astype(np.float32), MATRIX_2.astype(np.float64)
+    ) == np.float64
 
 
-class TestTypeConversions4(TestTypeConversions):
-    dtype = np.float64
-    cast_dtype = np.cdouble
+# ---------------------------------------------------------------------------
+# rejection rules
+# ---------------------------------------------------------------------------
 
 
-class TestTypeConversions5(TestTypeConversions):
-    dtype = np.int32
-    cast_dtype = np.float32
-
-    final_dtype = np.float64
-    always_cast = True
-
-
-class TestTypeConversions6(TestTypeConversions):
-    dtype = np.int32
-    cast_dtype = np.int64
-
-    final_dtype = np.float64
-    always_cast = True
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda: MATRIX_1.tocoo(),                      # COO rejected
+        lambda: MATRIX_1.astype(np.int64),              # int data
+        lambda: MATRIX_1.tobsr(blocksize=(10, 5)),      # non-square block
+    ],
+    ids=["coo", "int-data", "rect-bsr-block"],
+)
+def test_to_device_rejects(build):
+    with pytest.raises(ValueError):
+        to_device(build())
 
 
-class TestTypeConversions7(TestTypeConversions):
-    dtype = np.clongdouble
-    cast_dtype = np.clongdouble
+def test_3d_inputs_rejected():
+    d1 = MATRIX_1.toarray().reshape(200, 300, 1)
+    d2 = MATRIX_2.toarray().reshape(300, 100, 1)
+    for a, b in [(d1, d2), (d1, MATRIX_2), (MATRIX_1, d2)]:
+        with pytest.raises(ValueError):
+            dot_product(a, b)
 
-    final_dtype = np.cdouble
-    always_cast = True
+
+@pytest.mark.parametrize(
+    "a,b",
+    [
+        (VECTOR.reshape(-1, 1), MATRIX_2),          # inner mismatch
+        (MATRIX_1, VECTOR.reshape(1, -1)),          # inner mismatch
+        (VECTOR.reshape(-1, 1), VECTOR.reshape(-1, 1)),
+        (MATRIX_1.transpose(), MATRIX_2),            # 300x200 * 300x100
+        (VECTOR[100:], VECTOR),                      # misaligned vectors
+    ],
+    ids=["colvec-mat", "mat-rowvec", "colvec-colvec", "matT-mat",
+         "short-vec"],
+)
+def test_misaligned_shapes_raise(a, b):
+    with pytest.raises(ValueError):
+        dot_product(a, b)
 
 
-if __name__ == "__main__":
-    unittest.main()
+# ---------------------------------------------------------------------------
+# empty-output short-circuits
+# ---------------------------------------------------------------------------
+
+
+def test_empty_sparse_sparse():
+    got = dot_product(MATRIX_1_EMPTY, MATRIX_2)
+    assert got.shape == (200, 100)
+    assert got.nnz == 0
+    assert sps.issparse(got)
+
+
+def test_empty_sparse_dense_and_vector():
+    dense = MATRIX_2.toarray()
+    got = dot_product(MATRIX_1_EMPTY, dense)
+    npt.assert_array_equal(got, np.zeros((200, 100)))
+    gotv = dot_product(MATRIX_1_EMPTY, dense[:, 0])
+    npt.assert_array_equal(gotv, np.zeros(200))
+
+
+def test_empty_zero_dim_dense():
+    zero_rows = np.zeros((0, 300))
+    got = dot_product(zero_rows, MATRIX_2.toarray())
+    assert got.shape == (0, 100)
+
+
+def test_empty_mixed_dtype_rule():
+    # float64 unless BOTH operands are float32.
+    got32 = dot_product(
+        MATRIX_1_EMPTY.astype(np.float32),
+        MATRIX_2.astype(np.float32).toarray(),
+    )
+    assert got32.dtype == np.float32
+    got64 = dot_product(
+        MATRIX_1_EMPTY.astype(np.float32), MATRIX_2.toarray()
+    )
+    assert got64.dtype == np.float64

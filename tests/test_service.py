@@ -1,74 +1,79 @@
-"""Service-function suite — models the reference's
-``tests/test_service.py`` over the drop-in ``mkl_*`` aliases and the
-canonical names."""
+"""Service / introspection functions.
 
-import unittest
+The backend analogs of MKL's service family
+(``/root/reference/sparse_dot_mkl/_mkl_interface/_cfunctions.py:729-782``):
+version introspection, thread-width hints, the LP64/ILP64 interface
+selector, and the debug-mode flag.
+"""
 
 import numpy as np
+import pytest
 
-from sparse_dot_tpu import (
-    mkl_get_version,
-    mkl_get_version_string,
-    mkl_get_max_threads,
-    mkl_set_interface_layer,
-    mkl_set_num_threads,
-    mkl_set_num_threads_local,
-    mkl_interface_integer_dtype,
-    get_version,
-    get_device_count,
-    set_debug_mode,
+import sparse_dot_tpu as sdt
+
+
+def test_version_tuple_shape():
+    """The mkl_get_version alias returns the 7-slot tuple layout the
+    reference's tests rely on: three ints then four strings."""
+    v = sdt.mkl_get_version()
+    assert len(v) == 7
+    assert all(isinstance(x, int) for x in v[:3])
+    assert all(isinstance(x, str) for x in v[3:])
+
+
+def test_version_string_and_dict():
+    s = sdt.mkl_get_version_string()
+    assert isinstance(s, str) and "sparse_dot_tpu" in s
+    d = sdt.get_version()
+    for key in ("framework_version", "platform", "num_devices"):
+        assert key in d
+
+
+def test_thread_hint_roundtrip():
+    prev = sdt.mkl_set_num_threads_local(1)
+    try:
+        assert sdt.mkl_get_max_threads() == 1
+        sdt.mkl_set_num_threads(3)
+        assert sdt.mkl_get_max_threads() == 3
+        with pytest.raises(ValueError):
+            sdt.mkl_set_num_threads(0)
+    finally:
+        sdt.mkl_set_num_threads_local(prev)
+
+
+def test_default_thread_width_positive():
+    sdt.mkl_set_num_threads_local(0)  # reset to default
+    assert sdt.mkl_get_max_threads() >= 1
+    assert isinstance(sdt.mkl_get_max_threads(), int)
+
+
+@pytest.mark.parametrize(
+    "selector,want",
+    [(0, np.int32), (1, np.int64), ("LP64", np.int32), ("ILP64", np.int64)],
+    ids=["0", "1", "LP64", "ILP64"],
 )
+def test_interface_layer_selection(selector, want):
+    try:
+        sdt.mkl_set_interface_layer(selector)
+        assert sdt.mkl_interface_integer_dtype() == want
+    finally:
+        sdt.mkl_set_interface_layer("LP64")
 
 
-class TestServiceFunctions(unittest.TestCase):
-    def test_version(self):
-        version_info = mkl_get_version()
-        self.assertTrue(isinstance(version_info[0], int))
-        self.assertTrue(isinstance(version_info[1], int))
-        self.assertTrue(isinstance(version_info[2], int))
-        self.assertTrue(isinstance(version_info[3], str))
-        self.assertTrue(isinstance(version_info[4], str))
-        self.assertTrue(isinstance(version_info[5], str))
-        self.assertTrue(isinstance(version_info[6], str))
-
-    def test_version_str(self):
-        self.assertTrue(isinstance(mkl_get_version_string(), str))
-
-    def test_version_dict(self):
-        v = get_version()
-        self.assertIn("platform", v)
-        self.assertIn("num_devices", v)
-
-    def test_get_threads(self):
-        self.assertTrue(isinstance(mkl_get_max_threads(), int))
-
-    def test_set_threads(self):
-        n_threads_before = mkl_set_num_threads_local(1)
-        mkl_set_num_threads(1)
-        self.assertEqual(mkl_get_max_threads(), 1)
-        mkl_set_num_threads_local(n_threads_before)
-
-    def test_set_interface_layer(self):
-        mkl_set_interface_layer(0)
-        self.assertEqual(mkl_interface_integer_dtype(), np.int32)
-        mkl_set_interface_layer(1)
-        self.assertEqual(mkl_interface_integer_dtype(), np.int64)
-        mkl_set_interface_layer("LP64")
-        with self.assertRaises(ValueError):
-            mkl_set_interface_layer("MKL")
-
-    def test_get_integer_interface(self):
-        self.assertIn(mkl_interface_integer_dtype(), [np.int32, np.int64])
-
-    def test_device_count(self):
-        self.assertGreaterEqual(get_device_count(), 1)
-
-    def test_debug_mode(self):
-        set_debug_mode(True)
-        set_debug_mode(False)
-        with self.assertRaises(ValueError):
-            set_debug_mode("yes")
+def test_interface_layer_rejects_unknown():
+    with pytest.raises(ValueError):
+        sdt.mkl_set_interface_layer("MKL")
 
 
-if __name__ == "__main__":
-    unittest.main()
+def test_device_count():
+    assert sdt.get_device_count() >= 1
+
+
+def test_debug_mode_flag():
+    sdt.set_debug_mode(True)
+    try:
+        sdt.set_debug_mode(False)
+    finally:
+        pass
+    with pytest.raises(ValueError):
+        sdt.set_debug_mode("yes")

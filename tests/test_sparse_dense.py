@@ -157,5 +157,21 @@ class TestSparseDenseCSCComplexF(_ComplexMixin, TestSparseDenseCSC_F):
     pass
 
 
+
+from .common import ForcePlanarMixin
+
+
+class TestSparseDenseCSRComplexPlanar(
+    ForcePlanarMixin, TestSparseDenseCSRComplex
+):
+    pass
+
+
+class TestSparseDenseCSCComplexFPlanar(
+    ForcePlanarMixin, TestSparseDenseCSCComplexF
+):
+    pass
+
+
 if __name__ == "__main__":
     unittest.main()

@@ -185,6 +185,24 @@ except ImportError:
     pass
 
 
+
+# Planar-storage reruns: the decomposition every complex op uses on TPU
+# (see tests.common.ForcePlanarMixin).
+from .common import ForcePlanarMixin
+
+
+class TestMultiplicationCSRComplexPlanar(
+    ForcePlanarMixin, TestMultiplicationCSRComplex
+):
+    pass
+
+
+class TestMultiplicationCSCComplexPlanar(
+    ForcePlanarMixin, TestMultiplicationCSCComplex
+):
+    pass
+
+
 if __name__ == "__main__":
     unittest.main()
 

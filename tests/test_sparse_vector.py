@@ -129,5 +129,15 @@ class TestSparseVectorCSRComplex(_ComplexMixin, TestSparseVectorCSR):
     pass
 
 
+
+from .common import ForcePlanarMixin
+
+
+class TestSparseVectorCSRComplexPlanar(
+    ForcePlanarMixin, TestSparseVectorCSRComplex
+):
+    pass
+
+
 if __name__ == "__main__":
     unittest.main()
