@@ -20,6 +20,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -89,6 +90,88 @@ def _pipelined(fn, scalarize, reps=10, warmup=2):
     run_all()
     dt = (time.perf_counter() - t0) * 1e3
     return max(dt - _measure_rtt(), 0.01) / reps
+
+
+def _measure_hbm_bw():
+    """Measured streaming bandwidth roof (GB/s): one fused multiply-add
+    over a 256 MB f32 buffer reads+writes 512 MB."""
+    import jax.numpy as jnp
+
+    x = jnp.ones((64 << 20,), jnp.float32)  # 256 MB
+    ms = _pipelined(lambda: x * 2.0 + 1.0, lambda r: r[0] + r[-1], reps=4)
+    return (2 * x.size * 4) / (ms * 1e-3) / 1e9
+
+
+def _measure_link_bw():
+    """Host<->device link bandwidth (GB/s) from a 32 MB readback."""
+    import jax.numpy as jnp
+
+    x = jnp.ones((8 << 20,), jnp.float32)
+    np.asarray(x)  # warm
+    t0 = time.perf_counter()
+    np.asarray(x)
+    dt = time.perf_counter() - t0
+    return (x.size * 4) / dt / 1e9
+
+
+def _scaling_table():
+    """1 -> 8 device scaling of the row-sharded SpMM on the virtual CPU
+    mesh (BASELINE config 5 axis).  Per-shard work is 1/S of the total;
+    on real chips each shard has its own HBM/ALUs, on the virtual mesh
+    they share one host's cores, so the table is a LOWER bound on real
+    scaling (it includes all collective/dispatch overhead but devices
+    contend for compute)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    code = r"""
+import json, time
+import numpy as np, scipy.sparse as sps
+import jax
+jax.config.update("jax_platforms", "cpu")
+from sparse_dot_tpu.parallel import make_mesh, shard_csr_rows, sharded_spmm
+
+A = sps.random(16384, 16384, density=0.004, format="csr",
+               dtype=np.float32, random_state=0)
+b = np.random.default_rng(1).random((16384, 64)).astype(np.float32)
+out = {}
+for S in (1, 2, 4, 8):
+    mesh = make_mesh((S, 1), ("rows", "cols"))
+    A_sh = shard_csr_rows(A, S, mesh)
+    bj = jax.numpy.asarray(b)
+    def run():
+        return np.asarray(sharded_spmm(mesh, A_sh, bj))
+    run(); run()
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter(); run(); ts.append(time.perf_counter()-t0)
+    out[S] = float(np.median(ts) * 1e3)
+print(json.dumps(out))
+"""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        res = subprocess.run(
+            [_sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=600, env=env, cwd=os.path.dirname(
+                os.path.abspath(__file__)
+            ),
+        )
+        times = _json.loads(res.stdout.strip().splitlines()[-1])
+        t1 = times["1"]
+        return {
+            "virtual_mesh_ms": times,
+            "virtual_efficiency_8dev": round(
+                t1 / (8 * times["8"]), 3
+            ),
+        }
+    except Exception as e:  # never fail the bench on the scaling probe
+        return {"error": str(e)[:120]}
 
 
 def main():
@@ -189,12 +272,96 @@ def main():
         reps=10,
     )
 
+    # --- roofline accounting (BASELINE: >=70% of speed-of-light) ------
+    hbm_bw = _measure_hbm_bw()
+    link_bw = _measure_link_bw()
+
+    def sol_pct(measured_ms, traffic_bytes):
+        sol_ms = traffic_bytes / (hbm_bw * 1e9) * 1e3
+        return round(100.0 * sol_ms / measured_ms, 1), round(sol_ms, 3)
+
+    # SpMM f64 (gather-bound model): every nonzero gathers an n-row of
+    # B and the result is written once; A's values+indices stream once.
+    n_cols = 128
+    spmm_traffic = (
+        Asp.nnz * n_cols * 8      # B-row gathers
+        + 10000 * n_cols * 8      # C write
+        + Asp.nnz * 12            # A values + column indices
+    )
+    spmm_sol, spmm_sol_ms = sol_pct(spmm_ms, spmm_traffic)
+    spmm32_traffic = Asp.nnz * n_cols * 4 + 10000 * n_cols * 4 + Asp.nnz * 8
+    spmm32_sol, _ = sol_pct(spmm32_ms, spmm32_traffic)
+
+    # SpGEMM numeric phase (densified-MXU): streams the dense operands
+    # and the product once (the nnz gathers are a lower-order term).
+    spgemm_traffic = (500 * 5000 + 5000 * 500 + 500 * 500) * 8 + X.nnz * 24
+    spgemm_sol, _ = sol_pct(numeric_ms, spgemm_traffic)
+
+    # --- e2e minus transfer: is the e2e gap a link artifact? ----------
+    res_bytes = (X @ XT).nnz * 12 + 500 * 4
+    e2e_minus_transfer = max(
+        e2e_ms - res_bytes / (link_bw * 1e9) * 1e3 - _measure_rtt(), 0.0
+    )
+
+    # --- BASELINE config 3: BSR x dense with out/out_scalar -----------
+    Absr = sps.random(
+        4096, 4096, density=0.02, format="csr", dtype=np.float32,
+        random_state=7,
+    ).tobsr(blocksize=(128, 128))
+    Abd = formats.to_device(Absr)
+    bf32 = jnp.asarray(
+        np.random.default_rng(3).random((4096, 128)).astype(np.float32)
+    )
+    bsr_ms = _pipelined(
+        lambda: hops._real_spmm(Abd, Abd.data, bf32, False), s_arr, reps=5
+    )
+    from sparse_dot_tpu.config import config as _cfg
+    bsr_pallas_used = bool(
+        getattr(_cfg, "pallas_bsr_enabled", False)
+        and jax.default_backend() != "cpu"
+    )
+    out_acc = np.ones((4096, 128), dtype=np.float32)
+    bsr_acc_ms = _median(
+        lambda: sdt.dot_product(Absr, np.asarray(bf32), out=out_acc,
+                                out_scalar=0.5),
+        reps=5,
+    )
+
+    # --- BASELINE config 4: complex128 gram (planar path on TPU) ------
+    Xc = (X + 0.5j * X).astype(np.complex128).tocsr()
+    Ac128 = formats.to_device(Xc)
+    gram_c128_ms = _median(
+        lambda: hops.gram_sparse(Ac128, np.complex128, aat=True)[0],
+        reps=3,
+    )
+
+    # --- ESC sparse-output SpGEMM (the any-size kernel) ---------------
+    esc_ms = _median(
+        lambda: hops.spgemm_esc_arrays(A, B, np.float64)[0], reps=3
+    )
+
+    # --- multi-chip scaling table (virtual mesh; see helper doc) ------
+    scaling = _scaling_table()
+
     result = {
         "metric": "spgemm_xxt_500x5000_f64",
         "value": round(spgemm_ms, 3),
         "unit": "ms",
         "vs_baseline": round(MKL_SPGEMM_MS / spgemm_ms, 3),
         "extras": {
+            "hbm_bw_gbps": round(hbm_bw, 1),
+            "link_bw_gbps": round(link_bw, 3),
+            "spmm_f64_sol_pct": spmm_sol,
+            "spmm_f64_sol_ms": spmm_sol_ms,
+            "spmm_f32_sol_pct": spmm32_sol,
+            "spgemm_numeric_sol_pct": spgemm_sol,
+            "spgemm_e2e_minus_transfer_ms": round(e2e_minus_transfer, 3),
+            "bsr_spmm_f32_ms": round(bsr_ms, 3),
+            "bsr_pallas_used": bsr_pallas_used,
+            "bsr_accumulate_e2e_ms": round(bsr_acc_ms, 3),
+            "gram_c128_ms": round(gram_c128_ms, 3),
+            "spgemm_esc_ms": round(esc_ms, 3),
+            "scaling": scaling,
             "spgemm_blocked_ms": round(spgemm_blocked_ms, 3),
             "spgemm_numeric_pipelined_ms": round(numeric_ms, 3),
             "spgemm_e2e_warm_ms": round(e2e_ms, 3),

@@ -83,6 +83,47 @@ def supports_float64(platform=None):
         return False
 
 
+def _probe_compiles(fn):
+    """True when the program compiles AND produces a readable value on
+    the active backend (tunnel backends defer execution, so the read is
+    the real test)."""
+    try:
+        out = jax.tree_util.tree_leaves(fn())[0]
+        float(jnp.asarray(out).astype(jnp.float32).sum())
+        return True
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def supports_f64_lu():
+    """XLA:TPU's LuDecomposition expander only implements F32/C64
+    ("Only F32 and C64 types are implemented in LuDecomposition" —
+    measured on v5e); on such backends the direct solver factors in
+    f32 and refines iteratively to f64 accuracy.  Accelerators take
+    the conservative answer without probing: a failed probe costs a
+    full compile round-trip, and even a successful emulated-f64
+    factorization would be slower than the mixed-precision path."""
+    if default_platform() != "cpu":
+        return False
+    import jax.scipy.linalg as jsl
+
+    a = jnp.asarray(np.eye(4) * 2.0 + np.ones((4, 4)))
+    return _probe_compiles(lambda: jsl.lu_factor(a))
+
+
+@functools.lru_cache(maxsize=None)
+def supports_f64_qr():
+    """f64 Householder QR availability.  On TPU the X64 rewriter turns
+    the QR loop into an enormous program (compiles stall for minutes on
+    v5e), so accelerators route f64 least-squares to the CGLS device
+    loop instead — faster AND exact."""
+    if default_platform() != "cpu":
+        return False
+    a = jnp.asarray(np.eye(4) * 2.0 + np.ones((4, 4)))
+    return _probe_compiles(lambda: jnp.linalg.qr(a))
+
+
 # ---------------------------------------------------------------------------
 # Service functions (MKL service-family analogs)
 # ---------------------------------------------------------------------------

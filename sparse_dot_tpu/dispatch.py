@@ -354,6 +354,63 @@ def _dense_dot_dense(matrix_a, matrix_b, cast=False, scalar=1.0, out=None,
 
 
 # ---------------------------------------------------------------------------
+# sharded operands (mesh-distributed path)
+# ---------------------------------------------------------------------------
+
+
+def _sharded_dot_product(matrix_a, matrix_b):
+    """Route ``dot_product`` on mesh-sharded operands to the SPMD
+    kernels in :mod:`sparse_dot_tpu.parallel` — the multi-chip layer the
+    reference never had.  A must be the sharded operand (built by
+    ``shard_csr_rows`` / ``shard_csr_grid`` with a mesh)."""
+    from .parallel import ops as pops
+
+    if not isinstance(matrix_a, pops.ShardedCSR):
+        raise ValueError(
+            "dot_product with a sharded operand requires the SHARDED "
+            "matrix on the left (dense @ sharded is not supported)"
+        )
+    mesh = matrix_a.mesh
+    if mesh is None:
+        raise ValueError(
+            "ShardedCSR must be built with a mesh (shard_csr_rows(..., "
+            "mesh=...)) to be used with dot_product"
+        )
+
+    if isinstance(matrix_b, pops.ShardedCSR):
+        if matrix_a.rows.ndim != 3:
+            raise ValueError(
+                "sharded @ sharded requires A partitioned with "
+                "shard_csr_grid (row + column blocks)"
+            )
+        return pops.sharded_spgemm(mesh, matrix_a, matrix_b,
+                                   axis=matrix_a.axis)
+
+    b = np.asarray(matrix_b)
+    if matrix_a.rows.ndim == 3:
+        b2 = b.reshape(-1, 1) if b.ndim == 1 else b
+        res = np.asarray(
+            pops.sharded_spmm_ring(mesh, matrix_a, b2,
+                                   axis=matrix_a.axis)
+        )
+        return res.ravel() if b.ndim == 1 else res
+    if getattr(matrix_a, "k_local", None) is not None:
+        # contraction-sharded layout (shard_csr_cols): psum-reduced
+        b2 = b.reshape(-1, 1) if b.ndim == 1 else b
+        res = np.asarray(
+            pops.sharded_spmm_2d(mesh, matrix_a, b2, axis=matrix_a.axis)
+        )
+        return res.ravel() if b.ndim == 1 else res
+    if b.ndim == 1:
+        return np.asarray(
+            pops.sharded_spmv(mesh, matrix_a, b, axis=matrix_a.axis)
+        )
+    return np.asarray(
+        pops.sharded_spmm(mesh, matrix_a, b, axis=matrix_a.axis)
+    )
+
+
+# ---------------------------------------------------------------------------
 # public entry points
 # ---------------------------------------------------------------------------
 
@@ -377,6 +434,11 @@ def dot_product(matrix_a, matrix_b, cast=False, copy=True,
     """
     _deprecated_debug(debug)
     print_backend_debug()
+
+    from .parallel.ops import ShardedCSR
+
+    if isinstance(matrix_a, ShardedCSR) or isinstance(matrix_b, ShardedCSR):
+        return _sharded_dot_product(matrix_a, matrix_b)
 
     num_sparse = sum((_issparse(matrix_a), _issparse(matrix_b)))
 

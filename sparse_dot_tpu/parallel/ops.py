@@ -43,15 +43,23 @@ class ShardedCSR:
     Arrays have a leading shard axis of length S = mesh rows axis size:
     ``rows``/``cols``/``vals`` are (S, nnz_pad); ``rows`` holds
     LOCAL row ids with pad entries pointing at ``m_local`` (dropped).
+
+    ``mesh``/``axis`` (set by :func:`shard_csr_rows`) let the public
+    ``dot_product`` dispatch route a sharded operand automatically.
     """
 
-    def __init__(self, rows, cols, vals, shape, m_local, n_shards):
+    ndim = 2
+
+    def __init__(self, rows, cols, vals, shape, m_local, n_shards,
+                 mesh=None, axis="rows"):
         self.rows = rows
         self.cols = cols
         self.vals = vals
         self.shape = tuple(shape)
         self.m_local = int(m_local)
         self.n_shards = int(n_shards)
+        self.mesh = mesh
+        self.axis = axis
 
     @property
     def dtype(self):
@@ -108,7 +116,8 @@ def shard_csr_rows(matrix, n_shards, mesh=None, axis="rows"):
         cols = jax.device_put(cols, spec)
         vals = jax.device_put(vals, spec)
 
-    return ShardedCSR(rows, cols, vals, (m, k), m_local, n_shards)
+    return ShardedCSR(rows, cols, vals, (m, k), m_local, n_shards,
+                      mesh=mesh, axis=axis)
 
 
 # ---------------------------------------------------------------------------
@@ -195,6 +204,8 @@ def shard_csr_cols(matrix, n_shards, mesh=None, axis="cols"):
         (m, k),
         m,
         n_shards,
+        mesh=mesh,
+        axis=axis,
     )
     out.k_local = k_local
     if mesh is not None:
@@ -234,6 +245,219 @@ def sharded_spmm_2d(mesh, A_colsharded, b, axis="cols"):
     return jax.jit(_local)(
         A_colsharded.rows, A_colsharded.cols, A_colsharded.vals, b
     )
+
+
+# ---------------------------------------------------------------------------
+# Ring SpMM: B sharded (never replicated), blocks rotate over ICI
+# ---------------------------------------------------------------------------
+
+
+def shard_csr_grid(matrix, n_shards, mesh=None, axis="rows"):
+    """Partition A for the ring algorithm: rows into S contiguous
+    blocks, and each row block's columns into S blocks aligned with
+    B's row shards.  Returns a ShardedCSR whose arrays are
+    (S, S, nnz_pad): shard s, column-block c, padded COO with LOCAL row
+    ids and block-LOCAL column ids."""
+    if formats.is_device_sparse(matrix):
+        matrix = matrix.to_scipy().tocsr()
+    elif _sps.issparse(matrix):
+        matrix = matrix.tocsr()
+    else:
+        raise ValueError(f"Expected a sparse matrix, got {type(matrix)}")
+
+    m, k = matrix.shape
+    m_local = _ceil_div(m, n_shards)
+    k_local = _ceil_div(k, n_shards)
+
+    idx_dt = np.int32
+    chunks = {}
+    nnz_pad = 1
+    for s in range(n_shards):
+        rlo, rhi = s * m_local, min((s + 1) * m_local, m)
+        block_rows = matrix[rlo:rhi]
+        for c in range(n_shards):
+            clo, chi = c * k_local, min((c + 1) * k_local, k)
+            coo = block_rows[:, clo:chi].tocoo()
+            chunks[s, c] = (coo.row, coo.col, coo.data)
+            nnz_pad = max(nnz_pad, coo.nnz)
+
+    rows = np.full((n_shards, n_shards, nnz_pad), m_local, idx_dt)
+    cols = np.zeros((n_shards, n_shards, nnz_pad), idx_dt)
+    vals = np.zeros((n_shards, n_shards, nnz_pad), matrix.data.dtype)
+    for (s, c), (r, cc, v) in chunks.items():
+        rows[s, c, : r.size] = r
+        cols[s, c, : cc.size] = cc
+        vals[s, c, : v.size] = v
+
+    out = ShardedCSR(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+        (m, k), m_local, n_shards, mesh=mesh, axis=axis,
+    )
+    out.k_local = k_local
+    if mesh is not None:
+        spec = jax.sharding.NamedSharding(mesh, P(axis))
+        out.rows = jax.device_put(out.rows, spec)
+        out.cols = jax.device_put(out.cols, spec)
+        out.vals = jax.device_put(out.vals, spec)
+    return out
+
+
+def sharded_spmm_ring(mesh, A_grid, b, axis="rows"):
+    """C = A @ b with BOTH operands sharded: A row+column blocked
+    (:func:`shard_csr_grid`), b row-sharded along k.  At step t device s
+    multiplies its column block (s + t) mod S against the b shard it
+    currently holds, then the b shards rotate one hop with ``ppermute``
+    — the canonical ICI ring: per-device memory is |A|/S + |b|/S and
+    each step's transfer can overlap the next step's compute.  No
+    operand is ever replicated."""
+    S = A_grid.n_shards
+    m_local = A_grid.m_local
+    k_local = A_grid.k_local
+
+    b = jnp.asarray(b)
+    n = b.shape[1]
+    k_pad = S * k_local
+    if b.shape[0] < k_pad:
+        b = jnp.concatenate(
+            [b, jnp.zeros((k_pad - b.shape[0], n), b.dtype)]
+        )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def _ring(rows, cols, vals, b_block):
+        s = jax.lax.axis_index(axis)
+        rows, cols, vals = rows[0], cols[0], vals[0]  # (S, nnz_pad)
+        b_cur = b_block.reshape(k_local, n)
+        perm = [(i, (i - 1) % S) for i in range(S)]
+
+        def step(t, carry):
+            c_acc, b_cur = carry
+            blk = (s + t) % S
+            r = jax.lax.dynamic_index_in_dim(rows, blk, keepdims=False)
+            c = jax.lax.dynamic_index_in_dim(cols, blk, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(vals, blk, keepdims=False)
+            gathered = v[:, None] * b_cur[c, :]
+            c_acc = c_acc.at[r].add(gathered, mode="drop")
+            # Rotate so the NEXT shard this device holds is block
+            # (s + t + 1): b shards flow "down" the ring.
+            b_next = jax.lax.ppermute(b_cur, axis, perm)
+            return (c_acc, b_next)
+
+        c0 = jnp.zeros((m_local + 1, n), vals.dtype)
+        c_acc, _ = jax.lax.fori_loop(0, S, step, (c0, b_cur))
+        return c_acc[None, :m_local]
+
+    # b starts with shard s holding block s (the t=0 operand).
+    b_sharded = b.reshape(S, k_local, n)
+    c = jax.jit(_ring)(A_grid.rows, A_grid.cols, A_grid.vals, b_sharded)
+    return c.reshape(-1, n)[: A_grid.shape[0]]
+
+
+# ---------------------------------------------------------------------------
+# Sharded SpGEMM: row-sharded A x k-sharded sparse B over the same ring
+# ---------------------------------------------------------------------------
+
+
+def shard_csr_krows(matrix, n_shards, mesh=None, axis="rows"):
+    """Shard a sparse B along its ROW (contraction) axis for the ring
+    SpGEMM: (S, nnz_pad) padded COO with block-LOCAL row ids."""
+    if _sps.issparse(matrix):
+        matrix = matrix.tocsr()
+    elif formats.is_device_sparse(matrix):
+        matrix = matrix.to_scipy().tocsr()
+    k, n = matrix.shape
+    k_local = _ceil_div(k, n_shards)
+
+    idx_dt = np.int32
+    chunks = []
+    nnz_pad = 1
+    for s in range(n_shards):
+        lo, hi = s * k_local, min((s + 1) * k_local, k)
+        coo = matrix[lo:hi].tocoo()
+        chunks.append((coo.row, coo.col, coo.data))
+        nnz_pad = max(nnz_pad, coo.nnz)
+
+    rows = np.full((n_shards, nnz_pad), k_local, idx_dt)
+    cols = np.zeros((n_shards, nnz_pad), idx_dt)
+    vals = np.zeros((n_shards, nnz_pad), matrix.data.dtype)
+    for s, (r, c, v) in enumerate(chunks):
+        rows[s, : r.size] = r
+        cols[s, : c.size] = c
+        vals[s, : v.size] = v
+
+    out = ShardedCSR(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+        (k, n), k_local, n_shards, mesh=mesh, axis=axis,
+    )
+    if mesh is not None:
+        spec = jax.sharding.NamedSharding(mesh, P(axis))
+        out.rows = jax.device_put(out.rows, spec)
+        out.cols = jax.device_put(out.cols, spec)
+        out.vals = jax.device_put(out.vals, spec)
+    return out
+
+
+def sharded_spgemm(mesh, A_grid, B_krows, axis="rows"):
+    """C = A @ B with sparse A row+column blocked and sparse B sharded
+    along the contraction axis (2-D work partition).  B's COO shards
+    rotate around the ring while each device accumulates its m_local x n
+    dense row panel; the panel compacts to CSR on the host per shard.
+    Returns scipy CSR of the full product (row panels concatenated)."""
+    import scipy.sparse as sps
+
+    S = A_grid.n_shards
+    m_local = A_grid.m_local
+    k_local = A_grid.k_local
+    m = A_grid.shape[0]
+    n = B_krows.shape[1]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def _ring(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals):
+        s = jax.lax.axis_index(axis)
+        a_rows, a_cols, a_vals = a_rows[0], a_cols[0], a_vals[0]
+        b_r, b_c, b_v = b_rows[0], b_cols[0], b_vals[0]
+        perm = [(i, (i - 1) % S) for i in range(S)]
+
+        def step(t, carry):
+            c_acc, b_r, b_c, b_v = carry
+            blk = (s + t) % S
+            ar = jax.lax.dynamic_index_in_dim(a_rows, blk, keepdims=False)
+            ac = jax.lax.dynamic_index_in_dim(a_cols, blk, keepdims=False)
+            av = jax.lax.dynamic_index_in_dim(a_vals, blk, keepdims=False)
+            # densify the current B shard locally (k_local x n)
+            b_dense = jnp.zeros((k_local + 1, n), b_v.dtype).at[
+                b_r, b_c
+            ].add(b_v, mode="drop")
+            gathered = av[:, None] * b_dense[ac, :]
+            c_acc = c_acc.at[ar].add(gathered, mode="drop")
+            b_r = jax.lax.ppermute(b_r, axis, perm)
+            b_c = jax.lax.ppermute(b_c, axis, perm)
+            b_v = jax.lax.ppermute(b_v, axis, perm)
+            return (c_acc, b_r, b_c, b_v)
+
+        c0 = jnp.zeros((m_local + 1, n), a_vals.dtype)
+        c_acc, _, _, _ = jax.lax.fori_loop(
+            0, S, step, (c0, b_r, b_c, b_v)
+        )
+        return c_acc[None, :m_local]
+
+    panels = jax.jit(_ring)(
+        A_grid.rows, A_grid.cols, A_grid.vals,
+        B_krows.rows, B_krows.cols, B_krows.vals,
+    )
+    dense = np.asarray(panels).reshape(-1, n)[:m]
+    return sps.csr_matrix(dense)
 
 
 # ---------------------------------------------------------------------------

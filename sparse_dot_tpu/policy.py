@@ -246,51 +246,59 @@ def get_dense_layout(arr, second_arr=None):
 # ---------------------------------------------------------------------------
 
 
-def out_matrix(shape, dtype, order="C", out_arr=None, out_t=False):
-    """Allocate the output array, or validate a user-provided ``out``.
+def _describe_out(arr, shape, dtype, order, transposed_view):
+    """Build the have/need halves of the out-mismatch message.
 
-    Mirrors ``_out_matrix`` (``_common.py:885-955``) including the
-    transposed-view error reporting when ``out_t`` is set.
+    When the product was computed through a transposed view of ``out``
+    (right-sparse paths), both halves are reported in the USER's
+    orientation: shapes flip back and the effective memory order
+    inverts (a C-contiguous buffer seen through ``.T`` is F-ordered
+    from the caller's side).
     """
-    out_t = bool(out_t)
+    is_c = arr.flags["C_CONTIGUOUS"]
+    is_f = arr.flags["F_CONTIGUOUS"]
+    if transposed_view and arr.ndim > 1:
+        have_shape = arr.shape[::-1]
+        need_shape = tuple(shape)[::-1]
+        have_order = "F" if (is_c and not is_f) else "C"
+        need_order = "F" if order == "C" else "C"
+    else:
+        have_shape = arr.shape
+        need_shape = tuple(shape)
+        have_order = "C" if is_c else "F"
+        need_order = order
+    contig = "CONTIGUOUS" if arr.data.contiguous else "NONCONTIGUOUS"
+    need_dtype = getattr(dtype, "__name__", None) or np.dtype(dtype).name
+    have = f"{have_shape} {arr.dtype} [{have_order}_{contig}]"
+    need = f"{need_shape} {need_dtype} [{need_order}_CONTIGUOUS]"
+    return have, need
 
+
+def out_matrix(shape, dtype, order="C", out_arr=None, out_t=False):
+    """Allocate the output buffer, or validate a caller-supplied ``out``.
+
+    The contract (same as the reference's ``out=`` semantics,
+    ``_common.py:885-955``): ``out`` must match the product's shape,
+    dtype, memory order, and be contiguous — EXACTLY, since the result
+    is written into it in place and the same object is returned.  Any
+    mismatch raises with a have/need description (reported through the
+    transposed view when ``out_t`` is set).
+    """
     if out_arr is None:
         return np.zeros(shape, dtype=dtype, order=order)
 
-    if order == LAYOUT_C:
-        order_match = out_arr.flags["C_CONTIGUOUS"]
-    else:
-        order_match = out_arr.flags["F_CONTIGUOUS"]
-
-    if (
-        tuple(shape) != out_arr.shape
-        or np.dtype(dtype) != out_arr.dtype
-        or not order_match
-        or not out_arr.data.contiguous
-    ):
-        c_contig = out_arr.flags["C_CONTIGUOUS"]
-        f_contig = out_arr.flags["F_CONTIGUOUS"]
-
-        if not out_t or out_arr.ndim == 1:
-            err_shape, req_shape = out_arr.shape, tuple(shape)
-            err_order = "C" if c_contig else "F"
-            req_order = order
-        else:
-            err_shape, req_shape = out_arr.shape[::-1], tuple(shape)[::-1]
-            err_order = "F" if c_contig and not f_contig else "C"
-            req_order = "C" if order == "F" else "F"
-
-        try:
-            req_dtype = dtype.__name__
-        except AttributeError:
-            req_dtype = np.dtype(dtype).name
-
-        raise ValueError(
-            "Provided out array is "
-            f"{err_shape} {out_arr.dtype} [{err_order}"
-            f"_{'CONTIGUOUS' if out_arr.data.contiguous else 'NONCONTIGUOUS'}]"
-            f" and product requires "
-            f"{req_shape} {req_dtype} [{req_order}_CONTIGUOUS]"
+    wanted_flag = "C_CONTIGUOUS" if order == LAYOUT_C else "F_CONTIGUOUS"
+    ok = (
+        out_arr.shape == tuple(shape)
+        and out_arr.dtype == np.dtype(dtype)
+        and out_arr.flags[wanted_flag]
+        and out_arr.data.contiguous
+    )
+    if not ok:
+        have, need = _describe_out(
+            out_arr, shape, dtype, order, bool(out_t)
         )
-
+        raise ValueError(
+            f"Provided out array is {have} and product requires {need}"
+        )
     return out_arr

@@ -73,6 +73,42 @@ def _lu_solve(lu, piv, b):
     return jax.scipy.linalg.lu_solve((lu, piv), b)
 
 
+@jax.jit
+def _lu_solve_refined(lu32, piv, a_dense64, b64):
+    """Mixed-precision direct solve: f32 LU + f64 iterative refinement.
+
+    XLA:TPU implements LuDecomposition only for F32/C64, so on TPU the
+    factor is computed in f32 and each refinement step recovers ~7
+    digits: x += LU^-1 (b - A x) with the residual in exact f64.  The
+    loop runs on device (no host syncs) until the residual stalls."""
+
+    def solve32(r):
+        return jax.scipy.linalg.lu_solve(
+            (lu32, piv), r.astype(jnp.float32)
+        ).astype(jnp.float64)
+
+    b_norm = jnp.linalg.norm(b64)
+    tol = 1e-13 * jnp.maximum(b_norm, 1e-300)
+
+    def resid(x):
+        return b64 - jnp.dot(a_dense64, x)
+
+    x0 = solve32(b64)
+
+    def cond(state):
+        _, r, it = state
+        return jnp.logical_and(jnp.linalg.norm(r) > tol, it < 60)
+
+    def body(state):
+        x, r, it = state
+        x = x + solve32(r)
+        return (x, resid(x), it + 1)
+
+    state = (x0, resid(x0), jnp.asarray(0, jnp.int32))
+    x, _, _ = jax.lax.while_loop(cond, body, state)
+    return x
+
+
 def _densify_real_embedding(A_container, n):
     """Device dense matrix for the system; complex planar storage maps to
     the real 2n x 2n embedding [[Re, -Im], [Im, Re]]."""
@@ -184,10 +220,22 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
 
     if do_factor:
         a_dense, embedded = _densify_real_embedding(A_container, n)
-        lu, piv = _lu_factor(a_dense)
+        mixed = (
+            a_dense.dtype == jnp.float64
+            and not _backend.supports_f64_lu()
+        )
+        if mixed:
+            # TPU: LuDecomposition exists only for F32/C64 — factor in
+            # f32, keep dense A for f64 iterative refinement at solve.
+            lu, piv = _lu_factor(a_dense.astype(jnp.float32))
+            state["a_dense"] = a_dense
+        else:
+            lu, piv = _lu_factor(a_dense)
+            state["a_dense"] = None
         if bool(jnp.any(jnp.isnan(lu))):
             return _fail(B, pt, perm, -4, quiet)
         state["lu"] = (lu, piv)
+        state["mixed"] = mixed
         state["embedded"] = embedded
         state["dtype"] = A_container.dtype
 
@@ -195,20 +243,27 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
         if "lu" not in state:
             return _fail(B, pt, perm, -1, quiet)
         lu, piv = state["lu"]
+        mixed = state.get("mixed", False)
+
+        def _solve(b_dev):
+            if mixed:
+                return _lu_solve_refined(
+                    lu, piv, state["a_dense"],
+                    b_dev.astype(jnp.float64),
+                )
+            return _lu_solve(lu, piv, b_dev)
+
         b_np = np.asarray(B)
         b_2d = b_np.reshape(-1, 1) if b_np.ndim == 1 else b_np
         if state["embedded"]:
             b_stack = np.concatenate([b_2d.real, b_2d.imag], axis=0)
-            x_stack = np.asarray(
-                _lu_solve(lu, piv, jnp.asarray(b_stack))
-            )
+            x_stack = np.asarray(_solve(jnp.asarray(b_stack)))
             x = (x_stack[:n] + 1j * x_stack[n:]).astype(b_np.dtype)
         elif np.iscomplexobj(b_np) and _backend.supports_native_complex():
-            x = np.asarray(_lu_solve(lu, piv, jnp.asarray(b_2d)))
+            x = np.asarray(_solve(jnp.asarray(b_2d)))
         else:
-            x = np.asarray(
-                _lu_solve(lu, piv, jnp.asarray(b_2d.astype(lu.dtype)))
-            )
+            target = jnp.float64 if mixed else lu.dtype
+            x = np.asarray(_solve(jnp.asarray(b_2d.astype(target))))
         x = x.reshape(b_np.shape).astype(b_np.dtype, copy=False)
         X[...] = x
 
@@ -239,6 +294,11 @@ def export_factorization(pt):
         "lu": np.asarray(lu),
         "piv": np.asarray(piv),
         "embedded": bool(state["embedded"]),
+        "mixed": bool(state.get("mixed", False)),
+        "a_dense": (
+            np.asarray(state["a_dense"])
+            if state.get("a_dense") is not None else None
+        ),
         "dtype": np.dtype(state["dtype"]).str,
         "n": int(state.get("n", np.asarray(lu).shape[0])),
         "structure_nnz": int(state.get("structure_nnz", 0)),
@@ -254,6 +314,11 @@ def import_factorization(blob):
     _factor_store[key] = {
         "lu": (jnp.asarray(blob["lu"]), jnp.asarray(blob["piv"])),
         "embedded": bool(blob["embedded"]),
+        "mixed": bool(blob.get("mixed", False)),
+        "a_dense": (
+            jnp.asarray(blob["a_dense"])
+            if blob.get("a_dense") is not None else None
+        ),
         "dtype": np.dtype(blob["dtype"]),
         "n": int(blob["n"]),
         "structure_nnz": int(blob.get("structure_nnz", 0)),

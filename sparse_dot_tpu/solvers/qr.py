@@ -15,6 +15,8 @@ SpMV kernel is the intended route (see ``parallel`` for the sharded
 version).
 """
 
+from functools import partial
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -38,12 +40,88 @@ def _qr_lstsq(a_dense, b):
     return jax.scipy.linalg.solve_triangular(r, qtb, lower=False)
 
 
+# Densified-A byte budget above which the solver switches from blocked
+# Householder QR to the iterative (CGLS) normal-equations loop.
+_QR_DENSIFY_BUDGET = 2 << 30
+
+
+@partial(jax.jit, static_argnames=("m", "k"))
+def _cgls_device_loop(rows, cols, vals, b, m, k, tol, maxiter):
+    """Batched CGLS: min ||A X - B|| column-by-column in one compiled
+    ``lax.while_loop`` (per-column step sizes; a column that has
+    converged takes zero-length steps).  This is the large-m route of
+    the reference's multifrontal QR (``_sparse_qr_solver.py:61-101``) —
+    the factorization never materializes, only SpMV traffic."""
+
+    def fwd(x):  # (k, r) -> (m, r)
+        prods = vals[:, None] * x[cols, :]
+        return jnp.zeros((m, x.shape[1]), vals.dtype).at[rows].add(
+            prods, mode="drop"
+        )
+
+    def adj(y):  # (m, r) -> (k, r)
+        prods = vals[:, None] * y[rows, :]
+        return jnp.zeros((k, y.shape[1]), vals.dtype).at[cols].add(
+            prods, mode="drop"
+        )
+
+    x0 = jnp.zeros((k, b.shape[1]), b.dtype)
+    r0 = b  # residual with x = 0
+    s0 = adj(r0)
+    g0 = jnp.sum(s0 * s0, axis=0)  # per-column gradient norms
+    thresh = (tol * tol) * jnp.maximum(g0, 1e-300)
+
+    def cond(state):
+        _, _, _, g, it = state
+        return jnp.logical_and(jnp.any(g > thresh), it < maxiter)
+
+    def body(state):
+        x, r, p, g, it = state
+        q = fwd(p)
+        qq = jnp.sum(q * q, axis=0)
+        alpha = jnp.where(qq > 0, g / qq, 0.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * q
+        s = adj(r)
+        g_new = jnp.sum(s * s, axis=0)
+        beta = jnp.where(g > 0, g_new / g, 0.0)
+        p = s + beta[None, :] * p
+        return (x, r, p, g_new, it + 1)
+
+    state = (x0, r0, s0, g0, jnp.asarray(0, jnp.int32))
+    x, r, _, _, it = jax.lax.while_loop(cond, body, state)
+    return x, it
+
+
 def _sparse_qr(matrix_a, matrix_b):
     A = formats.to_device(matrix_a)
     rows, cols, vals, m, n = coo_parts(A)
-    a_dense = _xla.densify(rows, cols, vals, (m, n))
-    b_dev = jnp.asarray(np.asarray(matrix_b))
-    x = np.asarray(_qr_lstsq(a_dense, b_dev))
+    b_np = np.asarray(matrix_b)
+    b_dev = jnp.asarray(b_np)
+
+    from .. import backend as _backend
+
+    use_cgls = (
+        m * n * np.dtype(A.dtype).itemsize > _QR_DENSIFY_BUDGET
+        or (
+            np.dtype(A.dtype) == np.float64
+            and not _backend.supports_f64_qr()
+        )
+    )
+    if use_cgls:
+        # Too large to densify (or the backend has no f64 Householder
+        # QR): CGLS device loop over the SpMV kernel.
+        x_dev, _ = _cgls_device_loop(
+            rows, cols, vals.astype(jnp.float64),
+            b_dev.astype(jnp.float64),
+            m=m, k=n,
+            tol=jnp.asarray(1e-14, jnp.float64),
+            maxiter=jnp.asarray(10 * n + 1000, jnp.int32),
+        )
+        x = np.asarray(x_dev)
+    else:
+        a_dense = _xla.densify(rows, cols, vals, (m, n))
+        x = np.asarray(_qr_lstsq(a_dense, b_dev))
 
     layout_b, _ = get_dense_layout(matrix_b)
     if layout_b == LAYOUT_C:
@@ -54,7 +132,33 @@ def _sparse_qr(matrix_a, matrix_b):
 def sparse_qr_solver(matrix_a, matrix_b, cast=False):
     """Solve AX = B in the least-squares sense; mirrors the reference's
     guards (``_sparse_qr_solver.py:110-163``): CSC requires cast=True,
-    only CSR/CSC sparse accepted, shapes must align, complex rejected."""
+    only CSR/CSC sparse accepted, shapes must align, complex rejected.
+
+    Routing: dense blocked Householder QR up to ``_QR_DENSIFY_BUDGET``;
+    a compiled CGLS loop over the SpMV kernel beyond it; and the
+    mesh-distributed CGLS when A is a ``ShardedCSR``."""
+    from ..parallel.ops import ShardedCSR
+
+    if isinstance(matrix_a, ShardedCSR):
+        if matrix_a.mesh is None:
+            raise ValueError(
+                "Sharded QR solve requires the ShardedCSR to carry a "
+                "mesh (shard_csr_rows(..., mesh=...))"
+            )
+        from ..parallel.ops import sharded_cgls
+
+        b_np = np.asarray(matrix_b, dtype=np.float64)
+        if b_np.ndim == 1:
+            x, _, _ = sharded_cgls(
+                matrix_a.mesh, matrix_a, b_np, axis=matrix_a.axis
+            )
+            return x
+        outs = [
+            sharded_cgls(matrix_a.mesh, matrix_a, b_np[:, i],
+                         axis=matrix_a.axis)[0]
+            for i in range(b_np.shape[1])
+        ]
+        return np.stack(outs, axis=1)
 
     if formats.is_csc(matrix_a) and not cast:
         raise ValueError(

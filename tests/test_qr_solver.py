@@ -77,6 +77,60 @@ def test_multiple_rhs():
     npt.assert_array_almost_equal(sparse_qr_solve(A, B), expect)
 
 
+def test_large_m_routes_to_cgls(monkeypatch):
+    """Above the densify budget the solver switches to the compiled
+    CGLS loop — same answers, no dense A ever built."""
+    import sparse_dot_tpu.solvers.qr as qr_mod
+
+    rng = np.random.default_rng(2)
+    A = sps.random(3000, 60, density=0.05, format="csr",
+                   dtype=np.float64, random_state=2)
+    # make sure every column is touched so lstsq is unique
+    A = (A + sps.random(3000, 60, density=0.01, format="csr",
+                        random_state=3)).tocsr()
+    b = rng.random((3000, 2))
+    expect = np.linalg.lstsq(A.toarray(), b, rcond=None)[0]
+
+    monkeypatch.setattr(qr_mod, "_QR_DENSIFY_BUDGET", 1)  # force CGLS
+    got = sparse_qr_solve(A, b)
+    npt.assert_array_almost_equal(got, expect)
+
+
+def test_million_row_least_squares():
+    """BASELINE config 5 scale on one chip: 1M rows, sparse A, CGLS.
+    The dense lstsq oracle is unaffordable at this size, so optimality
+    is checked via the normal equations (A^T (A x - b) ~ 0)."""
+    m, k = 1_000_000, 200
+    rng = np.random.default_rng(4)
+    A = sps.random(m, k, density=2e-5, format="csr",
+                   dtype=np.float64, random_state=4)
+    # guarantee full column rank with a tail identity block
+    tail = sps.csr_matrix(
+        (np.ones(k), (np.arange(m - k, m), np.arange(k))), shape=(m, k)
+    )
+    A = (A + tail).tocsr()
+    b = rng.random(m)
+    x = sparse_qr_solve(A, b)
+    grad = np.abs(A.T @ (A @ x - b)).max()
+    assert grad < 1e-6, f"normal-equation residual too large: {grad}"
+
+
+def test_sharded_qr_route():
+    """A ShardedCSR operand routes to the mesh-distributed CGLS."""
+    import jax
+
+    from sparse_dot_tpu.parallel import make_mesh, shard_csr_rows
+
+    n_dev = jax.device_count()
+    mesh = make_mesh((n_dev, 1), ("rows", "cols"))
+    A = MATRIX_1[:, :50].tocsr()
+    b = np.arange(A.shape[0], dtype=np.float64)
+    A_sh = shard_csr_rows(A, n_dev, mesh)
+    got = sparse_qr_solve(A_sh, b)
+    expect = np.linalg.lstsq(A.toarray(), b, rcond=None)[0]
+    npt.assert_array_almost_equal(got, expect)
+
+
 @pytest.mark.parametrize(
     "mutate",
     [
