@@ -61,14 +61,21 @@ def supports_native_complex(platform=None):
     run as four real products (planar decomposition) in the op layer.
     """
     platform = platform or default_platform()
-    if platform == "cpu":
+    if platform in ("cpu", "gpu", "cuda", "rocm"):
         return True
-    # Probe once with a tiny program instead of hard-coding platform names
-    # (the tunnel backend reports an experimental platform name).
+    if platform == "tpu":
+        # XLA:TPU has no native complex support; worse, probing it
+        # through a tunnel backend can poison the client with a
+        # deferred UNIMPLEMENTED that surfaces at the next device_put
+        # (or hang the remote compile helper), so never attempt the
+        # compile here — complex runs planar (4 real products).
+        return False
+    # Unknown platform: probe once with a tiny program.  Tunnel
+    # backends defer execution (block_until_ready is a no-op), so the
+    # probe must READ a value to prove the program actually ran.
     try:
         x = jnp.ones((2, 2), dtype=np.complex64)
-        jax.block_until_ready(x * x)
-        return True
+        return bool(np.isfinite(complex((x * x).sum())))
     except Exception:
         return False
 

@@ -43,8 +43,11 @@ def _kernel(rowmap_ref, colidx_ref, a_ref, b_ref, o_ref):
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
+    # HIGHEST: 3-pass bf16 product. One-pass bf16 gives ~1e-3 relative
+    # error, failing the reference suite's decimal=5 f32 tolerance.
     o_ref[...] += jnp.dot(
-        a_ref[0], b_ref[...], preferred_element_type=jnp.float32
+        a_ref[0], b_ref[...], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -65,12 +68,17 @@ def bsr_spmm_pallas(rowmap, colidx, data, b, m, bs, interpret=False):
 
     grid = (n // N_PANEL, nblocks)
 
+    # Index maps must return int32: with jax_enable_x64 on (this
+    # package enables it) Python int literals trace as i64 and Mosaic
+    # refuses to legalize the (i32, i64, i64) index-map signature.
+    _zero = np.int32(0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, bs, bs), lambda j, p, rowmap, colidx: (p, 0, 0)
+                (1, bs, bs), lambda j, p, rowmap, colidx: (p, _zero, _zero)
             ),
             pl.BlockSpec(
                 (bs, N_PANEL), lambda j, p, rowmap, colidx: (colidx[p], j)
