@@ -93,34 +93,69 @@ def _pipelined(fn, scalarize, reps=10, warmup=2):
 
 
 def _measure_hbm_bw():
-    """Measured streaming bandwidth roof (GB/s): one fused multiply-add
-    over a 256 MB f32 buffer reads+writes 512 MB."""
+    """Measured streaming bandwidth roof (GB/s).
+
+    ONE jitted program chains K full reads of a 512 MB buffer with a
+    data dependence between iterations (the scalar result feeds the next
+    pass), so XLA can neither CSE the passes nor skip elements, and the
+    whole probe costs a single dispatch + one scalar read.  Traffic is
+    K reads; writes never leave registers (add+reduce fuses)."""
+    import jax
     import jax.numpy as jnp
 
-    x = jnp.ones((64 << 20,), jnp.float32)  # 256 MB
-    ms = _pipelined(lambda: x * 2.0 + 1.0, lambda r: r[0] + r[-1], reps=4)
-    return (2 * x.size * 4) / (ms * 1e-3) / 1e9
+    x = jnp.ones((128 << 20,), jnp.float32)  # 512 MB
+    k_passes = 32
+
+    @jax.jit
+    def probe(x):
+        s = jnp.float32(0.0)
+        for _ in range(k_passes):
+            s = s + (x + s * jnp.float32(1e-30)).sum()
+        return s
+
+    float(probe(x))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(probe(x))
+        times.append(time.perf_counter() - t0)
+    dt = max(min(times) - _measure_rtt() * 1e-3, 1e-5)
+    return (k_passes * x.size * 4) / dt / 1e9
 
 
 def _measure_link_bw():
-    """Host<->device link bandwidth (GB/s) from a 32 MB readback."""
+    """Host<-device link bandwidth (GB/s) from a 32 MB readback.
+
+    The array must be FRESH per timing: jax caches the host copy after
+    the first ``np.asarray``, so re-reading the same array measures the
+    cache, not the link (a 50 MB/s tunnel "measured" 500 GB/s)."""
+    import jax
     import jax.numpy as jnp
 
-    x = jnp.ones((8 << 20,), jnp.float32)
-    np.asarray(x)  # warm
-    t0 = time.perf_counter()
-    np.asarray(x)
-    dt = time.perf_counter() - t0
-    return (x.size * 4) / dt / 1e9
+    def fresh(seed):
+        y = jnp.full((8 << 20,), np.float32(seed))
+        jax.block_until_ready(y)
+        return y
+
+    float(fresh(0.5).sum())  # warm dispatch path
+    times = []
+    for i in range(2):
+        y = fresh(1.0 + i)
+        t0 = time.perf_counter()
+        np.asarray(y)
+        times.append(time.perf_counter() - t0)
+    dt = max(min(times) - _measure_rtt() * 1e-3, 1e-5)
+    return (8 << 20) * 4 / dt / 1e9
 
 
 def _scaling_table():
     """1 -> 8 device scaling of the row-sharded SpMM on the virtual CPU
-    mesh (BASELINE config 5 axis).  Per-shard work is 1/S of the total;
-    on real chips each shard has its own HBM/ALUs, on the virtual mesh
-    they share one host's cores, so the table is a LOWER bound on real
-    scaling (it includes all collective/dispatch overhead but devices
-    contend for compute)."""
+    mesh (BASELINE config 5 axis).  The virtual devices SHARE one
+    host's cores, so per-device speedup is unmeasurable here; what IS
+    measurable is the sharding overhead: the same total work run on 1
+    vs 8 shards differs only by the added collectives/dispatch, so
+    t1/t8 is the fraction of wall time NOT lost to scaling machinery
+    (1.0 = free sharding).  Real per-chip scaling needs real chips."""
     import json as _json
     import subprocess
     import sys as _sys
@@ -137,7 +172,7 @@ A = sps.random(16384, 16384, density=0.004, format="csr",
 b = np.random.default_rng(1).random((16384, 64)).astype(np.float32)
 out = {}
 for S in (1, 2, 4, 8):
-    mesh = make_mesh((S, 1), ("rows", "cols"))
+    mesh = make_mesh((S, 1), ("rows", "cols"), devices=jax.devices()[:S])
     A_sh = shard_csr_rows(A, S, mesh)
     bj = jax.numpy.asarray(b)
     def run():
@@ -162,12 +197,14 @@ print(json.dumps(out))
                 os.path.abspath(__file__)
             ),
         )
+        if not res.stdout.strip():
+            return {"error": ("no output; stderr: "
+                              + res.stderr[-400:])}
         times = _json.loads(res.stdout.strip().splitlines()[-1])
-        t1 = times["1"]
         return {
             "virtual_mesh_ms": times,
-            "virtual_efficiency_8dev": round(
-                t1 / (8 * times["8"]), 3
+            "sharding_overhead_factor_8dev": round(
+                times["1"] / times["8"], 3
             ),
         }
     except Exception as e:  # never fail the bench on the scaling probe

@@ -497,16 +497,17 @@ def _host_data(mat):
 
 
 def _expand_indptr(indptr, nnz):
-    """indptr -> per-nonzero segment ids, on device.
-
-    ``searchsorted(indptr, arange(nnz), side='right') - 1`` maps each data
-    position to its compressed-axis id, including empty segments.
-    """
+    """indptr -> per-nonzero segment ids, on device (empty segments
+    included).  Uses marks+prefix-sum, not ``jnp.searchsorted`` — the
+    XLA:TPU searchsorted lowering is a serialized binary-search gather
+    that costs ~130 ns/element."""
     if nnz == 0:
         return jnp.zeros((0,), dtype=indptr.dtype)
-    pos = jnp.arange(nnz, dtype=indptr.dtype)
-    return (
-        jnp.searchsorted(indptr, pos, side="right").astype(indptr.dtype) - 1
+    from .ops import _xla
+
+    nseg = indptr.shape[0] - 1
+    return _xla.segment_ids_from_offsets(indptr, nnz, nseg - 1).astype(
+        indptr.dtype
     )
 
 

@@ -245,6 +245,26 @@ def densify_sorted(flat, vals, shape):
     return sorted_set_scatter(flat, vals, m * n).reshape(m, n)
 
 
+def segment_ids_from_offsets(offsets, size, clip_max):
+    """j[t] = i for t in [offsets[i], offsets[i+1)) — the inverse of a
+    prefix/indptr array.  NOT ``jnp.searchsorted``: its XLA:TPU lowering
+    is a serialized binary-search gather (~130 ns/element — 536 ms for
+    a 4M-slot block); a small scatter-add of segment-start marks plus
+    one prefix sum does the same in ~2 ms.  Out-of-range segment starts
+    (empty tail segments pinned at ``size``) drop out; counts per slot
+    may exceed 1 (empty segments)."""
+    marks = jnp.zeros((size,), jnp.int32).at[offsets[1:]].add(
+        1, mode="drop"
+    )
+    nseg = offsets.shape[0] - 1
+    if nseg >= (1 << 24):
+        # prefix_sum's f32 chunk arithmetic is exact below 2^24 only.
+        ids = jnp.cumsum(marks)
+    else:
+        ids = prefix_sum(marks)
+    return jnp.clip(ids, 0, clip_max)
+
+
 def prefix_sum(mask):
     """Int32 prefix sum of a boolean mask via 128-wide MXU triangular
     matmuls (XLA's cumsum lowering is log-pass; this is one matmul plus
@@ -822,10 +842,7 @@ def esc_spgemm_block(a_rows, a_cols, a_vals, offsets, e_total,
     kdt = jnp.int64 if key64 else jnp.int32
     nnz_pad = a_rows.shape[0]
     t = jnp.arange(e_pad, dtype=offsets.dtype)
-    j = jnp.clip(
-        jnp.searchsorted(offsets, t, side="right").astype(jnp.int32) - 1,
-        0, nnz_pad - 1,
-    )
+    j = segment_ids_from_offsets(offsets, e_pad, nnz_pad - 1)
     valid = t < e_total
     pos = (t - offsets[j]).astype(jnp.int32)
     bpos = jnp.clip(
@@ -874,12 +891,18 @@ def esc_spgemm_block(a_rows, a_cols, a_vals, offsets, e_total,
 
     seg = prefix_sum(head) - 1  # segment id per element (heads define)
     count = seg[-1] + 1
-    dest = jnp.where(head, seg, e_pad)
 
-    okey = jnp.zeros((e_pad,), kdt).at[dest].set(
-        skey, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
-    outs = tuple(
-        sorted_set_scatter(dest, sv, e_pad) for sv in svals
-    )
-    return (okey,) + outs + (count.astype(jnp.int32),)
+    # Compaction by a second sort on the destination rank: heads carry
+    # their output position, everything else sinks to the tail (rank
+    # e_pad).  Slots past ``count`` are garbage; callers slice [:count].
+    # NOT a set-scatter: where(head, seg, e_pad) interleaves dropped
+    # slots between the sorted live destinations, so the
+    # indices_are_sorted/unique_indices hints would be lies — and
+    # XLA:TPU's hinted scatter returns wrong values on that lie at
+    # multi-M sizes (CPU ignores the hints, which is why the CPU suite
+    # never saw it).  Measured at 4M slots: sort 36 ms vs honest
+    # scatter-add 135 ms vs unhinted set-scatter 100 ms.
+    rank = jnp.where(head, seg, e_pad)
+    compacted = lax.sort((rank, skey) + tuple(svals), dimension=0,
+                         num_keys=1)
+    return tuple(compacted[1:]) + (count.astype(jnp.int32),)

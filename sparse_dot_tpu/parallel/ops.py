@@ -111,10 +111,11 @@ def shard_csr_rows(matrix, n_shards, mesh=None, axis="rows"):
     vals = jnp.asarray(vals_np)
 
     if mesh is not None:
-        spec = jax.sharding.NamedSharding(mesh, P(axis))
-        rows = jax.device_put(rows, spec)
-        cols = jax.device_put(cols, spec)
-        vals = jax.device_put(vals, spec)
+        from .multihost import put_sharded
+
+        rows = put_sharded(rows, mesh, P(axis))
+        cols = put_sharded(cols, mesh, P(axis))
+        vals = put_sharded(vals, mesh, P(axis))
 
     return ShardedCSR(rows, cols, vals, (m, k), m_local, n_shards,
                       mesh=mesh, axis=axis)
@@ -209,10 +210,11 @@ def shard_csr_cols(matrix, n_shards, mesh=None, axis="cols"):
     )
     out.k_local = k_local
     if mesh is not None:
-        spec = jax.sharding.NamedSharding(mesh, P(axis))
-        out.rows = jax.device_put(out.rows, spec)
-        out.cols = jax.device_put(out.cols, spec)
-        out.vals = jax.device_put(out.vals, spec)
+        from .multihost import put_sharded
+
+        out.rows = put_sharded(out.rows, mesh, P(axis))
+        out.cols = put_sharded(out.cols, mesh, P(axis))
+        out.vals = put_sharded(out.vals, mesh, P(axis))
     return out
 
 
@@ -295,10 +297,11 @@ def shard_csr_grid(matrix, n_shards, mesh=None, axis="rows"):
     )
     out.k_local = k_local
     if mesh is not None:
-        spec = jax.sharding.NamedSharding(mesh, P(axis))
-        out.rows = jax.device_put(out.rows, spec)
-        out.cols = jax.device_put(out.cols, spec)
-        out.vals = jax.device_put(out.vals, spec)
+        from .multihost import put_sharded
+
+        out.rows = put_sharded(out.rows, mesh, P(axis))
+        out.cols = put_sharded(out.cols, mesh, P(axis))
+        out.vals = put_sharded(out.vals, mesh, P(axis))
     return out
 
 
@@ -395,10 +398,11 @@ def shard_csr_krows(matrix, n_shards, mesh=None, axis="rows"):
         (k, n), k_local, n_shards, mesh=mesh, axis=axis,
     )
     if mesh is not None:
-        spec = jax.sharding.NamedSharding(mesh, P(axis))
-        out.rows = jax.device_put(out.rows, spec)
-        out.cols = jax.device_put(out.cols, spec)
-        out.vals = jax.device_put(out.vals, spec)
+        from .multihost import put_sharded
+
+        out.rows = put_sharded(out.rows, mesh, P(axis))
+        out.cols = put_sharded(out.cols, mesh, P(axis))
+        out.vals = put_sharded(out.vals, mesh, P(axis))
     return out
 
 

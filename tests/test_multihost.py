@@ -1,0 +1,163 @@
+"""Multi-host layer tests.
+
+The multi-process topology itself cannot run inside one pytest process,
+so coverage splits three ways:
+
+* the single-process degradations (``put_sharded`` == ``device_put``,
+  ``gather_to_host`` == ``np.asarray``, barriers no-op) run in-suite on
+  the 8-virtual-device CPU mesh,
+* a real ``jax.distributed.initialize`` -> sharded op -> ``shutdown``
+  round trip runs in a subprocess as a 1-process "cluster" against a
+  live coordinator port,
+* the shard-placement equivalence checks that the
+  ``make_array_from_callback`` path (what multi-process placement uses)
+  produces the same global value and sharding as ``device_put``.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import unittest
+
+import numpy as np
+import scipy.sparse as sps
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sparse_dot_tpu import parallel
+from sparse_dot_tpu.parallel import multihost
+
+N_DEV = 8
+
+
+def _mesh():
+    return parallel.make_mesh((N_DEV, 1), ("rows", "cols"))
+
+
+class TestProcessInfo(unittest.TestCase):
+    def test_fields(self):
+        info = multihost.process_info()
+        self.assertEqual(info["process_index"], 0)
+        self.assertEqual(info["process_count"], 1)
+        self.assertEqual(info["global_device_count"], N_DEV)
+        self.assertEqual(info["platform"], "cpu")
+
+    def test_initialize_noop_on_cpu(self):
+        # No coordinator given and not a TPU pod: must not try to join
+        # a cluster, just report the local topology.
+        info = multihost.initialize()
+        self.assertEqual(info["process_count"], 1)
+        self.assertFalse(multihost.is_initialized())
+
+    def test_sync_noop(self):
+        multihost.sync_global_devices("test")  # must not raise
+
+
+class TestPutSharded(unittest.TestCase):
+    def test_matches_device_put(self):
+        mesh = _mesh()
+        x = np.arange(N_DEV * 6, dtype=np.float64).reshape(N_DEV, 6)
+        via_put = multihost.put_sharded(x, mesh, P("rows"))
+        via_dp = jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, P("rows"))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(via_put), np.asarray(via_dp)
+        )
+        self.assertEqual(via_put.sharding, via_dp.sharding)
+
+    def test_callback_path_equivalence(self):
+        # The exact construction multi-process placement uses: each
+        # "process" materializes shards from the global host value.
+        mesh = _mesh()
+        sharding = jax.sharding.NamedSharding(mesh, P("rows"))
+        x = np.random.default_rng(0).random((N_DEV * 4, 3))
+        via_cb = jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+        np.testing.assert_array_equal(np.asarray(via_cb), x)
+        self.assertEqual(
+            via_cb.sharding,
+            multihost.put_sharded(x, mesh, P("rows")).sharding,
+        )
+
+    def test_gather_to_host(self):
+        mesh = _mesh()
+        x = np.random.default_rng(1).random((N_DEV * 2, 5))
+        g = multihost.gather_to_host(
+            multihost.put_sharded(x, mesh, P("rows"))
+        )
+        np.testing.assert_array_equal(g, x)
+
+
+class TestShardedConstructorsUseIt(unittest.TestCase):
+    """The sharded CSR constructors route placement through
+    ``put_sharded``; their results must stay correct and sharded."""
+
+    def test_shard_csr_rows_placement(self):
+        mesh = _mesh()
+        a = sps.random(64, 48, density=0.2, format="csr",
+                       dtype=np.float64, random_state=0)
+        A = parallel.shard_csr_rows(a, N_DEV, mesh)
+        self.assertEqual(
+            A.vals.sharding,
+            jax.sharding.NamedSharding(mesh, P("rows")),
+        )
+        b = np.random.default_rng(2).random((48, 4))
+        c = np.asarray(parallel.sharded_spmm(mesh, A, b))
+        np.testing.assert_allclose(c, a.toarray() @ b, atol=1e-12)
+
+
+class TestDistributedInitRoundTrip(unittest.TestCase):
+    """Real initialize/shutdown against a live coordinator, as a
+    1-process cluster in a subprocess (multi-process needs multiple
+    hosts; the coordination-service handshake is the same)."""
+
+    def test_roundtrip(self):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        code = f"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, scipy.sparse as sps
+from sparse_dot_tpu import parallel
+from sparse_dot_tpu.parallel import multihost
+
+assert not multihost.is_initialized()
+info = multihost.initialize(
+    coordinator_address="localhost:{port}", num_processes=1, process_id=0
+)
+assert multihost.is_initialized(), "client not registered"
+assert info["process_count"] == 1
+
+mesh = parallel.make_mesh((8, 1), ("rows", "cols"))
+a = sps.random(32, 24, density=0.3, format="csr", random_state=0)
+A = parallel.shard_csr_rows(a, 8, mesh)
+b = np.random.default_rng(1).random((24, 2))
+c = multihost.gather_to_host(parallel.sharded_spmm(mesh, A, b))
+np.testing.assert_allclose(c, a.toarray() @ b, atol=1e-12)
+multihost.sync_global_devices("done")
+multihost.shutdown()
+print("ROUNDTRIP_OK")
+"""
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=300, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        self.assertIn("ROUNDTRIP_OK", res.stdout,
+                      msg=f"stderr: {res.stderr[-2000:]}")
+
+
+if __name__ == "__main__":
+    unittest.main()
