@@ -556,6 +556,115 @@ def ell_row_max(indptr):
     return jnp.max(indptr[1:] - indptr[:-1])
 
 
+@partial(jax.jit, static_argnames=("flat_size", "m_pad"))
+def ell_binned_repack(indptr, cols, vals, perm_pad, row_off, nnz_sorted,
+                      flat_size, m_pad):
+    """One-time CSR -> row-binned padded flat layout, gather-formulated.
+
+    For flat slot s: p = its sorted-row id (inverse of the ``row_off``
+    prefix via marks+prefix-sum), q = s - row_off[p] the slot within
+    the row, source t = indptr[perm_pad[p]] + q, valid while
+    q < nnz_sorted[p].  Gathers (the TPU fast path) instead of the
+    scatter formulation — the permuted destinations would make an
+    unsorted scatter.
+    """
+    p = segment_ids_from_offsets(row_off, flat_size, m_pad - 1)
+    q = jnp.arange(flat_size, dtype=jnp.int32) - row_off[p]
+    orig = perm_pad[p]
+    valid = q < nnz_sorted[p]
+    t = jnp.clip(
+        indptr[orig].astype(jnp.int32) + q, 0, cols.shape[0] - 1
+    )
+    cols_flat = jnp.where(valid, cols[t].astype(jnp.int32), 0)
+    vals_flat = jnp.where(valid, vals[t], jnp.zeros((), vals.dtype))
+    return cols_flat, vals_flat
+
+
+def _seg_chunk_rows(rows, rmax, n, itemsize, budget=1 << 31):
+    """Rows per lax.map step keeping the gathered (rows, rmax, n)
+    intermediate under ~2 GB; multiples of 256."""
+    per_row = max(rmax, 1) * max(n, 1) * itemsize
+    chunk = max(budget // per_row, 256)
+    chunk = (chunk // 256) * 256
+    return min(chunk, rows)
+
+
+@partial(jax.jit, static_argnames=("segs", "split_b"))
+def ell_spmm_binned(cols_flat, vals_flat, b, invpos, segs,
+                    split_b=False, alpha=None, beta=None, c0=None):
+    """C = A @ b over the row-binned padded layout (one program).
+
+    ``segs`` is the static ((rmax, rows), ...) structure from
+    :meth:`formats.CSR.ell_parts_binned`; rows are processed in sorted
+    order and the output un-permutes with one row gather.  For f64 b,
+    ``split_b=True`` gathers two f32 planes instead (measured ~1.7x
+    the byte rate of an X64-rewriter f64 gather) and recombines to f64
+    before the exact f64 multiply-reduce (split exact to ~2^-49
+    relative, same as every hi/lo path here).
+    """
+    n = b.shape[1]
+    if split_b:
+        b_hi, b_lo = _ozaki.hilo(b)
+
+    def gather_rows(idx):
+        if split_b:
+            return (
+                b_hi[idx].astype(jnp.float64)
+                + b_lo[idx].astype(jnp.float64)
+            )
+        return b[idx]
+
+    outs = []
+    off = 0
+    for rmax, rows in segs:
+        if rmax == 0:
+            outs.append(jnp.zeros((rows, n), vals_flat.dtype))
+            continue
+        cnt = rows * rmax
+        cp = lax.slice(cols_flat, (off,), (off + cnt,)).reshape(
+            rows, rmax
+        )
+        vp = lax.slice(vals_flat, (off,), (off + cnt,)).reshape(
+            rows, rmax
+        )
+        off += cnt
+
+        def one(args):
+            cpc, vpc = args
+            mc = cpc.shape[0]
+            bg = gather_rows(cpc.reshape(-1)).reshape(mc, rmax, n)
+            return jnp.sum(vpc[:, :, None] * bg, axis=1)
+
+        itemsize = jnp.dtype(vals_flat.dtype).itemsize
+        chunk = _seg_chunk_rows(rows, rmax, n, itemsize)
+        if chunk >= rows:
+            outs.append(one((cp, vp)))
+        else:
+            nchunks = -(-rows // chunk)
+            pad_rows = nchunks * chunk - rows
+            if pad_rows:
+                cp = jnp.concatenate(
+                    [cp, jnp.zeros((pad_rows, rmax), cp.dtype)]
+                )
+                vp = jnp.concatenate(
+                    [vp, jnp.zeros((pad_rows, rmax), vp.dtype)]
+                )
+            c = lax.map(
+                one,
+                (cp.reshape(nchunks, chunk, rmax),
+                 vp.reshape(nchunks, chunk, rmax)),
+            ).reshape(-1, n)
+            outs.append(c[:rows])
+
+    c_sorted = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    c = c_sorted[invpos]
+    if alpha is not None:
+        c = c * jnp.asarray(alpha, c.dtype)
+    if c0 is not None:
+        c = c + jnp.asarray(beta, c.dtype) * c0
+    return c
+
+
 @partial(jax.jit, static_argnames=("nchunks", "precision"))
 def ell_spmm(cols_ell, vals_ell, b, nchunks=1, precision=None,
              alpha=None, beta=None, c0=None):

@@ -161,6 +161,14 @@ def _real_spmm(A, a_data, b_dev, transpose):
     nnz = int(a_data.reshape(-1).shape[0])
 
     if _prefer_ell(A, a_data, m, k, n, nnz, transpose):
+        if getattr(config, "ell_binned", True):
+            binned = A.ell_parts_binned(data=a_data)
+            if binned is not None:
+                segs, cols_flat, vals_flat, invpos = binned
+                return _xla.ell_spmm_binned(
+                    cols_flat, vals_flat, b_dev, invpos, segs=segs,
+                    split_b=b_dev.dtype == jnp.float64,
+                )
         ell = A.ell_parts(data=a_data)
         if ell is not None:
             cols_ell, vals_ell = ell
