@@ -314,17 +314,17 @@ class CSR(SparseDeviceMatrix):
                     self.row_indices(), self.indices, data, self.indptr,
                     m=m_pad, rmax=rmax,
                 )
-                cache = (cols_ell, (id(data), vals_ell), pad_ratio)
+                cache = (cols_ell, (data, vals_ell), pad_ratio)
             self._ell_cache = cache
         cols_ell, vals_entry, pad_ratio = cache
         if cols_ell is None:
             return None
-        if vals_entry[0] != id(data):
+        if vals_entry[0] is not data:
             _, vals_ell = _xla.ell_repack(
                 self.row_indices(), self.indices, data, self.indptr,
                 m=m_pad, rmax=cols_ell.shape[1],
             )
-            vals_entry = (id(data), vals_ell)
+            vals_entry = (data, vals_ell)
             self._ell_cache = (cols_ell, vals_entry, pad_ratio)
         return cols_ell, vals_entry[1]
 
@@ -400,7 +400,7 @@ class CSR(SparseDeviceMatrix):
                 m_pad=m_pad,
             )
             cache = (
-                segs, cols_flat, (id(data), vals_flat),
+                segs, cols_flat, (data, vals_flat),
                 jnp.asarray(invpos),
                 (jnp.asarray(perm_pad),
                  jnp.asarray(row_off.astype(np.int32)),
@@ -412,13 +412,13 @@ class CSR(SparseDeviceMatrix):
         if cache[0] is None:
             return None
         segs, cols_flat, vals_entry, invpos, aux, _ = cache
-        if vals_entry[0] != id(data):
+        if vals_entry[0] is not data:
             perm_pad, row_off, nnz_sorted, flat_size, m_pad = aux
             _, vals_flat = _xla.ell_binned_repack(
                 self.indptr, self.indices, data, perm_pad, row_off,
                 nnz_sorted, flat_size=flat_size, m_pad=m_pad,
             )
-            vals_entry = (id(data), vals_flat)
+            vals_entry = (data, vals_flat)
             self._ell_binned_cache = (
                 segs, cols_flat, vals_entry, invpos, aux, cache[5]
             )
@@ -426,7 +426,14 @@ class CSR(SparseDeviceMatrix):
 
     @property
     def T(self):
-        """Zero-cost transpose: a CSR's buffers reread as CSC."""
+        """Zero-cost transpose: a CSR's buffers reread as CSC.
+
+        Memoized on the instance so repeated ``A.T`` return the SAME
+        container — downstream structure-token caches (speculative
+        SpGEMM sizing, sorted-flat layouts) then hit across calls."""
+        out = getattr(self, "_T_view", None)
+        if out is not None:
+            return out
         out = CSC.__new__(CSC)
         out.data = self.data
         out.indices = self.indices
@@ -435,6 +442,7 @@ class CSR(SparseDeviceMatrix):
         out.planar = self.planar
         out._dtype = self._dtype
         out.indices_sorted = getattr(self, "indices_sorted", False)
+        self._T_view = out
         return out
 
 
@@ -487,6 +495,9 @@ class CSC(SparseDeviceMatrix):
 
     @property
     def T(self):
+        out = getattr(self, "_T_view", None)
+        if out is not None:
+            return out
         out = CSR.__new__(CSR)
         out.data = self.data
         out.indices = self.indices
@@ -495,6 +506,7 @@ class CSC(SparseDeviceMatrix):
         out.planar = self.planar
         out._dtype = self._dtype
         out.indices_sorted = getattr(self, "indices_sorted", False)
+        self._T_view = out
         return out
 
 

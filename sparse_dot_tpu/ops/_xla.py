@@ -848,6 +848,161 @@ def spgemm_dense(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m, k, n,
     )
 
 
+# ---------------------------------------------------------------------------
+# Structural SpGEMM (pattern matmul)
+#
+# The reference's ``mkl_sparse_spmm`` output pattern is STRUCTURAL:
+# entry (i, j) exists iff some k has a stored A[i,k] and B[k,j], even
+# when the numeric sum cancels to zero exactly
+# (``/root/reference/sparse_dot_mkl/_sparse_sparse.py:21-44``; scipy
+# behaves the same).  A dense numeric product cannot represent that —
+# but the pattern is itself a matmul: P = 1[A] @ 1[B] over indicator
+# matrices, whose terms are all >= 0, so no cancellation is possible
+# and P > 0 is exactly the structural pattern.  One extra bf16 MXU
+# pass (vs the ~D^2/2 Ozaki passes of the f64 numeric phase) buys
+# MKL/scipy-exact structure on the fast densify path — this is the
+# TPU-native answer to the any-size sparse output problem wherever the
+# dense intermediate fits; the ESC kernel remains for the regime where
+# it does not.
+# ---------------------------------------------------------------------------
+
+
+def _indicator_sorted(flat, size):
+    """Structural indicator (1.0 at every STORED position — stored
+    zeros included, matching MKL/scipy structural semantics) as bf16
+    for the pattern matmul."""
+    return jnp.zeros((size,), jnp.bfloat16).at[flat].set(
+        1.0, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+
+
+def _pattern_matmul(a_flat, b_flat, m, k, n, a_cm, b_cm, syrk):
+    """P[i, j] = number of structural contributions to C[i, j], exact
+    while < 2^24 (bf16 ones, f32 MXU accumulation — all terms
+    non-negative, so P > 0 iff (i, j) is structurally present)."""
+    a_dim = 0 if a_cm else 1
+    ind_a = _indicator_sorted(a_flat, m * k).reshape(
+        (k, m) if a_cm else (m, k)
+    )
+    if syrk:
+        return lax.dot_general(
+            ind_a, ind_a, (((a_dim,), (a_dim,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    b_dim = 1 if b_cm else 0
+    ind_b = _indicator_sorted(b_flat, k * n).reshape(
+        (n, k) if b_cm else (k, n)
+    )
+    return lax.dot_general(
+        ind_a, ind_b, (((a_dim,), (b_dim,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m", "k", "n", "a_cm", "b_cm", "syrk", "precision",
+                     "use_ozaki", "triangular"),
+)
+def spgemm_structural_sorted(a_flat, a_vals, b_flat, b_vals, m, k, n,
+                             a_cm=False, b_cm=False, syrk=False,
+                             precision=None, use_ozaki=False,
+                             triangular=False):
+    """Numeric phase + structural pattern + count, fused in ONE program.
+
+    Returns (c_dense, mask_flat, count): the dense numeric product, the
+    flattened structural mask, and the structural nonzero count.
+    """
+    c = spgemm_numeric_sorted(
+        a_flat, a_vals, b_flat, b_vals, m=m, k=k, n=n, a_cm=a_cm,
+        b_cm=b_cm, syrk=syrk, precision=precision, use_ozaki=use_ozaki,
+        triangular=triangular,
+    )
+    p = _pattern_matmul(a_flat, b_flat, m, k, n, a_cm, b_cm, syrk)
+    if triangular:
+        p = jnp.triu(p)
+    mask_flat = (p > 0).reshape(-1)
+    count = jnp.sum(mask_flat.astype(jnp.int32))
+    return c, mask_flat, count
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m", "k", "n", "a_cm", "b_cm", "syrk", "triangular"),
+)
+def pattern_mask_sorted(a_flat, b_flat, m, k, n, a_cm=False, b_cm=False,
+                        syrk=False, triangular=False):
+    """Structural pattern alone: (mask_flat, count).  Used by the
+    planar-complex driver, where the numeric phase runs as separate
+    real passes but the pattern is shared by all channels."""
+    p = _pattern_matmul(a_flat, b_flat, m, k, n, a_cm, b_cm, syrk)
+    if triangular:
+        p = jnp.triu(p)
+    mask_flat = (p > 0).reshape(-1)
+    return mask_flat, jnp.sum(mask_flat.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("m",))
+def spmm_block_structural(rows, cols, vals, b_dense, b_ind, m):
+    """One row block of the blocked structural SpGEMM: the numeric
+    scatter-SpMM plus the block's structural pattern (indicator of the
+    A block against the precomputed B indicator), one program.
+
+    Returns (c_block, mask_block) of shape (m, n) — callers slice off
+    the pad row.
+    """
+    c = _spmm_scatter_oneshot(rows, cols, vals, b_dense, m)
+    ind_a = jnp.zeros((m, b_ind.shape[0]), jnp.bfloat16).at[
+        rows, cols
+    ].set(1.0, mode="drop")
+    p = lax.dot_general(
+        ind_a, b_ind, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return c, p > 0
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def densify_indicator(rows, cols, shape):
+    """Structural indicator (bf16 ones at stored positions) of an
+    expanded-COO operand."""
+    return jnp.zeros(shape, jnp.bfloat16).at[rows, cols].set(
+        1.0, mode="drop"
+    )
+
+
+@partial(jax.jit, static_argnames=("nnz",))
+def extract_sparse_masked(c_dense, mask_flat, nnz):
+    """Dense + structural mask -> CSR arrays with exactly ``nnz``
+    stored entries (``nnz`` = the mask's popcount; explicitly-zero
+    values are kept, matching MKL/scipy structural output)."""
+    m, n = c_dense.shape
+    flat = c_dense.reshape(-1)
+    pos = prefix_sum(mask_flat) - 1
+    dest = jnp.where(mask_flat, pos, nnz)
+    vals = sorted_set_scatter(dest, flat, nnz)
+    col_of = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1).reshape(-1)
+    cols = jnp.zeros((nnz,), jnp.int32).at[dest].set(
+        col_of, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+    row_counts = jnp.sum(mask_flat.reshape(m, n).astype(jnp.int32), axis=1)
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(row_counts).astype(jnp.int32)]
+    )
+    return vals, cols, indptr
+
+
+@partial(jax.jit, static_argnames=("nnz",))
+def extract_sparse_masked_checked(c_dense, mask_flat, count, prev_bad,
+                                  nnz):
+    """Masked extraction plus in-program speculation validation (the
+    structural analog of :func:`extract_sparse_checked`)."""
+    vals, cols, indptr = extract_sparse_masked(c_dense, mask_flat, nnz)
+    bad = prev_bad | (count != jnp.asarray(nnz, count.dtype))
+    return vals, cols, indptr, bad
+
+
 @partial(jax.jit, static_argnames=("nnz",))
 def extract_sparse_checked(c_dense, count, prev_bad, nnz):
     """``extract_sparse`` plus in-program speculation validation: merges

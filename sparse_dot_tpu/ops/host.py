@@ -422,12 +422,17 @@ def spgemm_dense(A, B, out_dtype, out=None, out_scalar=None):
     return res
 
 
-def _host_extract(dense_np, out_dtype, triangular):
+def _host_extract(dense_np, out_dtype, triangular, mask=None):
     """Numpy compaction of a (small) dense product — cheaper than extra
-    device dispatches when the dense result fits a single transfer."""
+    device dispatches when the dense result fits a single transfer.
+
+    ``mask`` (the structural pattern from :func:`_xla._pattern_matmul`)
+    selects the stored entries; without it the numeric-nonzero pattern
+    is used (which drops exactly-cancelled entries)."""
+    if mask is None:
+        mask = dense_np != 0
     if triangular:
-        dense_np = np.triu(dense_np)
-    mask = dense_np != 0
+        mask = np.triu(mask)
     counts = mask.sum(axis=1)
     indptr = np.concatenate([[0], np.cumsum(counts)]).astype(
         config.index_dtype
@@ -453,10 +458,11 @@ _SPGEMM_ROW_BLOCK = 4096
 
 
 def _blocked_spgemm_arrays(A, B, out_dtype, triangular):
-    """Row-blocked SpGEMM: for each block of A's rows, run the fused
-    numeric phase against (densified) B and compact, concatenating CSR
-    arrays on the host.  Bounds device memory at
-    row_block x n per block."""
+    """Row-blocked structural SpGEMM: for each block of A's rows, run
+    the fused numeric-plus-pattern phase against (densified) B and
+    compact, concatenating CSR arrays on the host.  Bounds device
+    memory at row_block x n per block; output pattern is structural
+    (pattern matmul per block — see ``_xla.spmm_block_structural``)."""
     A = A if isinstance(A, formats.CSR) else _to_csr(A)
     m, k = A.shape
     n = B.shape[1]
@@ -464,6 +470,7 @@ def _blocked_spgemm_arrays(A, B, out_dtype, triangular):
 
     b_rows, b_cols, b_vals, _, _ = coo_parts(B)
     b_dense = _xla.densify(b_rows, b_cols, b_vals, (k, n))
+    b_ind = _xla.densify_indicator(b_rows, b_cols, (k, n))
 
     block = _SPGEMM_ROW_BLOCK
     nblocks = -(-m // block)
@@ -475,6 +482,24 @@ def _blocked_spgemm_arrays(A, B, out_dtype, triangular):
 
     all_vals, all_cols, all_counts = [], [], []
     rows_full = A.row_indices()
+    pending = []
+
+    def _drain():
+        # Deferred readbacks: blocks in a wave dispatch back-to-back on
+        # device and are only pulled afterwards, hiding the round-trip.
+        for lo, hi, dense_blk, mask_blk in pending:
+            dense_np = np.asarray(dense_blk)[: hi - lo]
+            mask = np.asarray(mask_blk)[: hi - lo]
+            if triangular:
+                # Global triangle: drop below the global diagonal.
+                r_idx = np.arange(lo, hi)[:, None]
+                mask = mask & (np.arange(n)[None, :] >= r_idx)
+            r, c = np.nonzero(mask)
+            all_vals.append(dense_np[r, c])
+            all_cols.append(c)
+            all_counts.append(mask.sum(axis=1))
+        pending.clear()
+
     for i in range(nblocks):
         lo, hi = i * block, min((i + 1) * block, m)
         plo, phi = int(indptr_np[lo]), int(indptr_np[hi])
@@ -492,21 +517,13 @@ def _blocked_spgemm_arrays(A, B, out_dtype, triangular):
             vals_blk = jnp.concatenate(
                 [vals_blk, jnp.zeros((pad,), vals_blk.dtype)]
             )
-        dense_blk = _xla._spmm_fused(
-            rows_blk, cols_blk, vals_blk, b_dense, m=block, use_mxu=False
+        dense_blk, mask_blk = _xla.spmm_block_structural(
+            rows_blk, cols_blk, vals_blk, b_dense, b_ind, m=block
         )
-        dense_np = np.asarray(dense_blk)[: hi - lo]
-        if triangular:
-            # Global triangle: zero entries below the global diagonal.
-            r_idx = np.arange(lo, hi)[:, None]
-            dense_np = np.where(
-                np.arange(n)[None, :] >= r_idx, dense_np, 0
-            )
-        mask = dense_np != 0
-        r, c = np.nonzero(mask)
-        all_vals.append(dense_np[r, c])
-        all_cols.append(c)
-        all_counts.append(mask.sum(axis=1))
+        pending.append((lo, hi, dense_blk, mask_blk))
+        if len(pending) >= 4:  # bound device memory to 4 row panels
+            _drain()
+    _drain()
 
     vals = np.concatenate(all_vals).astype(out_dtype, copy=False)
     cols = np.concatenate(all_cols).astype(config.index_dtype)
@@ -600,6 +617,43 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
     all_vals, all_cols = [], []
     counts = np.zeros(m, dtype=np.int64)
 
+    # Deferred-sync machinery: block kernels are dispatched in waves of
+    # ``_ESC_WAVE`` and their counts read back TOGETHER (one stacked
+    # scalar transfer per wave instead of one 25 ms round-trip per
+    # block — the round-2 profile's single biggest ESC cost).  The
+    # value readbacks that follow only start after every kernel in the
+    # wave is in flight, so block compute pipelines under the reads.
+    _ESC_WAVE = 8
+    wave = []
+
+    def _flush_wave():
+        if not wave:
+            return
+        wave_counts = np.asarray(jnp.stack([w[-1] for w in wave]))
+        for (blo, bhi, bmb, be_pad, okey, ovals, _), cnt in zip(
+            wave, wave_counts
+        ):
+            cnt = int(cnt)
+            if not cnt:
+                continue
+            take = min(be_pad, _pow2_bucket(cnt, lo=1 << 14))
+            keys_np = np.asarray(okey[:take])[:cnt]
+            rows_np = (keys_np // n).astype(np.int64)
+            cols_np = keys_np - rows_np * n
+            counts[blo:bhi] = np.bincount(
+                rows_np, minlength=bmb
+            )[:bmb]
+            if nchan == 1:
+                vals_np = np.asarray(ovals[0][:take])[:cnt]
+            else:
+                vals_np = (
+                    np.asarray(ovals[0][:take])[:cnt]
+                    + 1j * np.asarray(ovals[1][:take])[:cnt]
+                )
+            all_vals.append(vals_np.astype(out_dtype, copy=False))
+            all_cols.append(cols_np)
+        wave.clear()
+
     lo = 0
     while lo < m:
         # Grow the block while the expansion stays under budget.
@@ -659,23 +713,11 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
             key64=key64, dup_passes=dup_passes, triangular=triangular,
         )
         okey, ovals, count = out[0], out[1:-1], out[-1]
-        cnt = int(count)  # one scalar sync per block
-        if cnt:
-            take = min(e_pad, _pow2_bucket(cnt, lo=1 << 14))
-            keys_np = np.asarray(okey[:take])[:cnt]
-            rows_np = (keys_np // n).astype(np.int64)
-            cols_np = keys_np - rows_np * n
-            counts[lo:hi] = np.bincount(rows_np, minlength=mb)[:mb]
-            if nchan == 1:
-                vals_np = np.asarray(ovals[0][:take])[:cnt]
-            else:
-                vals_np = (
-                    np.asarray(ovals[0][:take])[:cnt]
-                    + 1j * np.asarray(ovals[1][:take])[:cnt]
-                )
-            all_vals.append(vals_np.astype(out_dtype, copy=False))
-            all_cols.append(cols_np)
+        wave.append((lo, hi, mb, e_pad, okey, ovals, count))
+        if len(wave) >= _ESC_WAVE:
+            _flush_wave()
         lo = hi
+    _flush_wave()
 
     if not all_vals:
         return (
@@ -691,35 +733,79 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
     return data, indices, indptr
 
 
-# Speculative output-size cache for the device-compaction path: keyed by
-# the operand patterns, validated against the count the numeric program
-# returns in-band.  In steady state (repeated products with the same
-# structure) this removes the sizing round-trip MKL's allocate-inside-
-# spmm implies; a mismatch (values changed the numeric nonzero count)
-# falls back to the exact-size path.
+# Speculative output-size cache for the device-compaction path.  With
+# the structural pattern (round 3) the count depends ONLY on the operand
+# index structures, so entries keyed by structure tokens can never go
+# numerically stale; the in-band count still validates on the sync path.
+# Keys are monotone per-container tokens (never-reused ints attached to
+# the container instance) — NOT id()s, whose values recycle after GC and
+# could silently alias a new matrix to an old entry.
 _spgemm_nnz_cache = {}
+
+_struct_token_counter = __import__("itertools").count()
+
+
+def _structure_token(X):
+    tok = getattr(X, "_structure_token", None)
+    if tok is None:
+        tok = next(_struct_token_counter)
+        X._structure_token = tok
+    return tok
 
 
 def _pattern_key(A, B, triangular):
     return (
-        id(A.indices), id(B.indices), A.shape, B.shape,
-        A.nnz, B.nnz, bool(triangular),
+        _structure_token(A), _structure_token(B), bool(triangular),
+    )
+
+
+def _structural_mask_count(A, B, triangular):
+    """(mask_flat, count) device arrays of the structural pattern of
+    A @ B (shared by every value channel of a planar-complex product)."""
+    m, k = A.shape
+    n = B.shape[1]
+    a_dat = A.data[0] if A.planar else A.data
+    a_flat, _, a_cm = A.sorted_flat_parts(a_dat)
+    if _is_syrk_pair_pattern(A, B):
+        return _xla.pattern_mask_sorted(
+            a_flat, None, m=m, k=k, n=n, a_cm=a_cm, syrk=True,
+            triangular=triangular,
+        )
+    b_dat = B.data[0] if B.planar else B.data
+    b_flat, _, b_cm = B.sorted_flat_parts(b_dat)
+    return _xla.pattern_mask_sorted(
+        a_flat, b_flat, m=m, k=k, n=n, a_cm=a_cm, b_cm=b_cm,
+        triangular=triangular,
+    )
+
+
+def _is_syrk_pair_pattern(A, B):
+    """Structural version of :func:`_is_syrk_pair` (data identity not
+    required — only the index structure matters for the pattern)."""
+    return (
+        B.indices is A.indices
+        and B.indptr is A.indptr
+        and B.shape == (A.shape[1], A.shape[0])
+        and not isinstance(A, formats.BSR)
+        and type(B) is not type(A)
     )
 
 
 def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
-    """A @ B -> (data, indices, indptr) host CSR arrays.
+    """A @ B -> (data, indices, indptr) host CSR arrays with the
+    MKL/scipy STRUCTURAL output pattern (exactly-cancelled entries kept
+    as explicit zeros — ``/root/reference/sparse_dot_mkl/
+    _sparse_sparse.py:21-44``).
 
     Path choice:
 
-    * ``config.spgemm_exact_pattern`` -> the ESC kernel always (its
-      output pattern is structural like MKL/scipy's; the densify paths
-      drop exactly-cancelled entries).
-    * small/medium products -> one-dispatch dense numeric phase fused
-      with the output count, then numpy (small) or device (medium)
-      compaction — the MXU fast path.
+    * ``config.spgemm_exact_pattern`` -> force the ESC kernel (test
+      hook; every default path below is already structurally exact).
+    * small/medium products -> ONE fused device program: numeric phase
+      (MXU, Ozaki for f64) + bf16 indicator pattern matmul + count,
+      then numpy (small) or device (medium) masked compaction.
     * huge products (dense intermediate over ``_BLOCKED_SPGEMM_BYTES``)
-      -> row-blocked dense numeric when a row block AND densified B
+      -> row-blocked numeric+pattern when a row block AND densified B
       both fit comfortably, otherwise the ESC kernel, whose memory is
       bounded by the expansion budget, never by m x n.
     """
@@ -746,8 +832,11 @@ def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
         return spgemm_esc_arrays(A, B, out_dtype, triangular=triangular)
 
     if is_complex or small:
+        mask, _ = _structural_mask_count(A, B, triangular)
         dense = spgemm_dense(A, B, out_dtype)
-        return _host_extract(np.asarray(dense), out_dtype, triangular)
+        mask_np = np.asarray(mask).reshape(m, n)
+        return _host_extract(np.asarray(dense), out_dtype,
+                             triangular=False, mask=mask_np)
 
     dev = spgemm_device(A, B, out_dtype=out_dtype, triangular=triangular)
     return (
@@ -786,15 +875,38 @@ def validate_speculation():
         )
 
 
+def _spgemm_structural_real(A, a_data, B, b_data, triangular=False):
+    """One fused dispatch: numeric dense + structural mask + count."""
+    m, k = A.shape
+    n = B.shape[1]
+    use_oz = _xla._ozaki.enabled(a_data.dtype, k, m * k * n)
+    a_flat, a_vals, a_cm = A.sorted_flat_parts(a_data)
+    if _is_syrk_pair(A, B, a_data, b_data):
+        return _xla.spgemm_structural_sorted(
+            a_flat, a_vals, None, None, m=m, k=k, n=n,
+            a_cm=a_cm, syrk=True, use_ozaki=use_oz,
+            triangular=triangular,
+        )
+    b_flat, b_vals, b_cm = B.sorted_flat_parts(b_data)
+    return _xla.spgemm_structural_sorted(
+        a_flat, a_vals, b_flat, b_vals, m=m, k=k, n=n,
+        a_cm=a_cm, b_cm=b_cm, use_ozaki=use_oz, triangular=triangular,
+    )
+
+
 def spgemm_device(A, B, out_dtype=None, triangular=False,
                   sync_check=True):
-    """A @ B -> device-resident CSR container (no host transfer).
+    """A @ B -> device-resident CSR container (no host transfer), with
+    the MKL/scipy structural output pattern.
 
-    Output sizing is speculative (pattern cache).  With
+    Output sizing is speculative (structure-token cache).  Because the
+    count comes from the pattern matmul it depends only on the operand
+    index structures, so a cached size for the same containers is
+    always exact; the in-band count still validates.  With
     ``sync_check=True`` (default, and always on the scipy path) the
-    in-band count validates before returning.  ``sync_check=False``
-    defers validation to a later call, keeping steady-state pipelines
-    free of host round-trips — a sizing miss then raises on a later op.
+    count validates before returning.  ``sync_check=False`` defers
+    validation to a later call, keeping steady-state pipelines free of
+    host round-trips — a sizing miss then raises on a later op.
     """
     from ..policy import output_dtype as _odt
 
@@ -802,14 +914,14 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
     if out_dtype is None:
         out_dtype = _odt(A, B)
 
-    dense_dev, count = _spgemm_dense_real(
-        A, A.data, B, B.data, with_count=True, triangular=triangular
+    dense_dev, mask_flat, count = _spgemm_structural_real(
+        A, A.data, B, B.data, triangular=triangular
     )
 
     key = _pattern_key(A, B, triangular)
     nnz = _spgemm_nnz_cache.get(key)
     if nnz is None:
-        nnz = int(count)  # sizing sync (first call for this pattern)
+        nnz = int(count)  # sizing sync (first call for this structure)
         _spgemm_nnz_cache[key] = nnz
 
     def _empty():
@@ -826,14 +938,16 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         return _empty()
 
     if sync_check:
-        vals, cols, indptr = _xla.extract_sparse(dense_dev, nnz=nnz)
+        vals, cols, indptr = _xla.extract_sparse_masked(
+            dense_dev, mask_flat, nnz=nnz
+        )
         true_nnz = int(count)
         if true_nnz != nnz:
             _spgemm_nnz_cache[key] = true_nnz
             if true_nnz == 0:
                 return _empty()
-            vals, cols, indptr = _xla.extract_sparse(
-                dense_dev, nnz=true_nnz
+            vals, cols, indptr = _xla.extract_sparse_masked(
+                dense_dev, mask_flat, nnz=true_nnz
             )
         else:
             _spgemm_nnz_cache[key] = nnz
@@ -841,8 +955,8 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         bad = _check_state["bad"]
         if bad is None:
             bad = jnp.zeros((), jnp.bool_)
-        vals, cols, indptr, bad = _xla.extract_sparse_checked(
-            dense_dev, count, bad, nnz=nnz
+        vals, cols, indptr, bad = _xla.extract_sparse_masked_checked(
+            dense_dev, mask_flat, count, bad, nnz=nnz
         )
         _check_state["bad"] = bad
         _check_state["ops"] += 1

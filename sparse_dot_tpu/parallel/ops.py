@@ -410,8 +410,14 @@ def sharded_spgemm(mesh, A_grid, B_krows, axis="rows"):
     """C = A @ B with sparse A row+column blocked and sparse B sharded
     along the contraction axis (2-D work partition).  B's COO shards
     rotate around the ring while each device accumulates its m_local x n
-    dense row panel; the panel compacts to CSR on the host per shard.
-    Returns scipy CSR of the full product (row panels concatenated)."""
+    dense value panel AND the structural pattern panel (indicator ones
+    riding the same gathers, so the output pattern matches MKL/scipy —
+    cancelled entries kept).  The panels then compact to CSR arrays ON
+    DEVICE per shard (``_xla.extract_sparse_masked`` under shard_map),
+    so the host only ever receives nnz-sized buffers plus S counts —
+    never an m x n dense array (the round-2 scaling blocker).
+    Returns scipy CSR of the full product (row panels concatenated).
+    """
     import scipy.sparse as sps
 
     S = A_grid.n_shards
@@ -424,7 +430,7 @@ def sharded_spgemm(mesh, A_grid, B_krows, axis="rows"):
         shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
     def _ring(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals):
@@ -434,34 +440,87 @@ def sharded_spgemm(mesh, A_grid, B_krows, axis="rows"):
         perm = [(i, (i - 1) % S) for i in range(S)]
 
         def step(t, carry):
-            c_acc, b_r, b_c, b_v = carry
+            c_acc, p_acc, b_r, b_c, b_v = carry
             blk = (s + t) % S
             ar = jax.lax.dynamic_index_in_dim(a_rows, blk, keepdims=False)
             ac = jax.lax.dynamic_index_in_dim(a_cols, blk, keepdims=False)
             av = jax.lax.dynamic_index_in_dim(a_vals, blk, keepdims=False)
-            # densify the current B shard locally (k_local x n)
+            # densify the current B shard locally (k_local x n); pad
+            # entries carry out-of-range ids on BOTH operands, so the
+            # indicator panels see only stored entries.
             b_dense = jnp.zeros((k_local + 1, n), b_v.dtype).at[
                 b_r, b_c
             ].add(b_v, mode="drop")
+            b_ind = jnp.zeros((k_local + 1, n), jnp.float32).at[
+                b_r, b_c
+            ].set(1.0, mode="drop")
             gathered = av[:, None] * b_dense[ac, :]
             c_acc = c_acc.at[ar].add(gathered, mode="drop")
+            p_acc = p_acc.at[ar].add(b_ind[ac, :], mode="drop")
             b_r = jax.lax.ppermute(b_r, axis, perm)
             b_c = jax.lax.ppermute(b_c, axis, perm)
             b_v = jax.lax.ppermute(b_v, axis, perm)
-            return (c_acc, b_r, b_c, b_v)
+            return (c_acc, p_acc, b_r, b_c, b_v)
 
         c0 = jnp.zeros((m_local + 1, n), a_vals.dtype)
-        c_acc, _, _, _ = jax.lax.fori_loop(
-            0, S, step, (c0, b_r, b_c, b_v)
+        p0 = jnp.zeros((m_local + 1, n), jnp.float32)
+        c_acc, p_acc, _, _, _ = jax.lax.fori_loop(
+            0, S, step, (c0, p0, b_r, b_c, b_v)
         )
-        return c_acc[None, :m_local]
+        return c_acc[None, :m_local], p_acc[None, :m_local]
 
-    panels = jax.jit(_ring)(
+    panels, patterns = jax.jit(_ring)(
         A_grid.rows, A_grid.cols, A_grid.vals,
         B_krows.rows, B_krows.cols, B_krows.vals,
     )
-    dense = np.asarray(panels).reshape(-1, n)[:m]
-    return sps.csr_matrix(dense)
+
+    # Per-shard structural counts: an (S,)-sized transfer, the only
+    # sizing sync.
+    counts = np.asarray(
+        jax.jit(lambda p: (p > 0).sum(axis=(1, 2), dtype=jnp.int32))(
+            patterns
+        )
+    )
+    nnz_cap = 1
+    while nnz_cap < int(counts.max(initial=1)):
+        nnz_cap <<= 1
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    def _extract(c_panel, p_panel):
+        vals, cols, indptr = _xla.extract_sparse_masked(
+            c_panel[0], (p_panel[0] > 0).reshape(-1), nnz=nnz_cap
+        )
+        return vals[None], cols[None], indptr[None]
+
+    vals_s, cols_s, indptr_s = jax.jit(_extract)(panels, patterns)
+    vals_np = np.asarray(vals_s)
+    cols_np = np.asarray(cols_s)
+    indptr_np = np.asarray(indptr_s).astype(np.int64)
+
+    # Host assembly from the compacted per-shard buffers.
+    data_parts, idx_parts, count_parts = [], [], []
+    for s in range(S):
+        cnt = int(counts[s])
+        rows_here = min(m_local, m - s * m_local)
+        if rows_here <= 0:
+            break
+        data_parts.append(vals_np[s, :cnt])
+        idx_parts.append(cols_np[s, :cnt])
+        count_parts.append(np.diff(indptr_np[s, : rows_here + 1]))
+    data = np.concatenate(data_parts) if data_parts else np.zeros(0)
+    idx = np.concatenate(idx_parts) if idx_parts else np.zeros(0, np.int32)
+    row_counts = (
+        np.concatenate(count_parts) if count_parts
+        else np.zeros(m, np.int64)
+    )
+    indptr = np.concatenate([[0], np.cumsum(row_counts)])
+    return sps.csr_matrix((data, idx, indptr), shape=(m, n))
 
 
 # ---------------------------------------------------------------------------

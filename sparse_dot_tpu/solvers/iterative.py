@@ -361,57 +361,194 @@ class CGIterativeSparseSolver(IterativeSparseSolver):
         return self.x
 
 
+@partial(jax.jit, static_argnames=("n", "restart"))
+def _fgmres_cycle(rows, cols, vals, b, x, threshold, n, restart):
+    """One restarted-FGMRES (Arnoldi + Givens) cycle, fully on device.
+
+    First-party replacement for the reference's MKL RCI FGMRES
+    (``/root/reference/sparse_dot_mkl/solvers/_fgmres.py:360-430``):
+    the fixed (restart+1, n) Krylov workspace plays the role of the
+    reference's flat tmp buffer with its ipar[21]/[22] matvec offsets —
+    here the matvec is inlined, so no offsets cross any boundary.
+
+    Orthogonalization is CGS2 (classical Gram-Schmidt, two passes) —
+    numerically equivalent to modified GS for Arnoldi while mapping to
+    two (restart+1, n) matvecs instead of a serial per-vector loop.
+    The Hessenberg column is rotated by the stored Givens pairs, a new
+    rotation annihilates the subdiagonal, and |g[j+1]| tracks the
+    residual norm exactly (no extra matvec per cycle).
+
+    Returns (x_new, resid, inner_used): the updated iterate, the final
+    residual-norm estimate, and the number of Arnoldi steps the
+    convergence test actually needed (<= restart) — the honest inner
+    iteration count.
+    """
+
+    def mv(v):
+        return _xla.coo_spmv(rows, cols, vals, v, m=n)
+
+    r = b - mv(x)
+    beta = jnp.linalg.norm(r)
+    safe_beta = jnp.where(beta == 0, 1.0, beta)
+
+    V = jnp.zeros((restart + 1, n), x.dtype).at[0].set(r / safe_beta)
+    R = jnp.zeros((restart + 1, restart), x.dtype)  # rotated Hessenberg
+    cs = jnp.zeros((restart,), x.dtype)
+    sn = jnp.zeros((restart,), x.dtype)
+    g = jnp.zeros((restart + 1,), x.dtype).at[0].set(beta)
+    ju0 = jnp.asarray(restart, jnp.int32)
+    ju0 = jnp.where(beta <= threshold, 0, ju0)
+
+    def body(j, carry):
+        V, R, cs, sn, g, ju = carry
+        w = mv(V[j])
+        # CGS2: two projection passes against V[0..j] (masked matmuls).
+        row_mask = (
+            jnp.arange(restart + 1) <= j
+        ).astype(x.dtype)
+        h1 = (V @ w) * row_mask
+        w = w - V.T @ h1
+        h2 = (V @ w) * row_mask
+        w = w - V.T @ h2
+        hcol = h1 + h2
+        hj1 = jnp.linalg.norm(w)
+        hcol = hcol.at[j + 1].set(hj1)
+        V = V.at[j + 1].set(w / jnp.where(hj1 == 0, 1.0, hj1))
+
+        # Apply the stored Givens rotations to the new column.
+        def rot(i, hc):
+            pred = i < j
+            h_i = cs[i] * hc[i] + sn[i] * hc[i + 1]
+            h_i1 = -sn[i] * hc[i] + cs[i] * hc[i + 1]
+            hc = hc.at[i].set(jnp.where(pred, h_i, hc[i]))
+            return hc.at[i + 1].set(jnp.where(pred, h_i1, hc[i + 1]))
+
+        hcol = jax.lax.fori_loop(0, restart, rot, hcol)
+
+        # New rotation annihilating the subdiagonal entry.
+        denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+        c_new = jnp.where(denom == 0, 1.0, hcol[j] / denom)
+        s_new = jnp.where(denom == 0, 0.0, hcol[j + 1] / denom)
+        cs = cs.at[j].set(c_new)
+        sn = sn.at[j].set(s_new)
+        hcol = hcol.at[j].set(c_new * hcol[j] + s_new * hcol[j + 1])
+        hcol = hcol.at[j + 1].set(0.0)
+        g_j = g[j]
+        g = g.at[j].set(c_new * g_j)
+        g = g.at[j + 1].set(-s_new * g_j)
+
+        R = R.at[:, j].set(hcol)
+        # First step whose rotated residual |g[j+1]| clears the
+        # threshold: the honest inner iteration count.
+        hit = (jnp.abs(g[j + 1]) <= threshold) & (ju == restart)
+        ju = jnp.where(hit, j + 1, ju)
+        return (V, R, cs, sn, g, ju)
+
+    V, R, cs, sn, g, ju = jax.lax.fori_loop(
+        0, restart, body, (V, R, cs, sn, g, ju0)
+    )
+
+    # Back-substitution on the leading ju x ju triangle (columns past
+    # ju masked to zero so the converged-early solution is exact).
+    def back(idx, y):
+        i = restart - 1 - idx
+        valid = i < ju
+        num = g[i] - jnp.dot(R[i, :restart], y)
+        den = jnp.where(R[i, i] == 0, 1.0, R[i, i])
+        return y.at[i].set(jnp.where(valid, num / den, 0.0))
+
+    y = jax.lax.fori_loop(
+        0, restart, back, jnp.zeros((restart,), x.dtype)
+    )
+    x_new = x + V[:restart].T @ y
+    resid = jnp.abs(g[jnp.minimum(ju, restart)])
+    resid = jnp.where(ju == 0, beta, resid)
+    return x_new, resid, ju
+
+
+@partial(jax.jit, static_argnames=("n", "restart"))
+def _fgmres_device_loop(rows, cols, vals, b, x0, threshold, maxiter, n,
+                        restart):
+    """Whole restarted-FGMRES solve as one compiled loop: cycles run
+    inside ``lax.while_loop`` with zero host round-trips (vs the
+    reference's per-iteration RCI crossing).  Returns
+    (x, resid, cycles, inner_total)."""
+
+    def cond(state):
+        _, resid, it, _, done = state
+        return jnp.logical_and(~done, it < maxiter)
+
+    def body(state):
+        x, _, it, inner, _ = state
+        x, resid, ju = _fgmres_cycle(
+            rows, cols, vals, b, x, threshold, n=n, restart=restart
+        )
+        done = resid <= threshold
+        return (x, resid, it + 1, inner + ju, done)
+
+    r0 = b - _xla.coo_spmv(rows, cols, vals, x0, m=n)
+    beta0 = jnp.linalg.norm(r0)
+    state = (x0, beta0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32), beta0 <= threshold)
+    x, resid, it, inner, _ = jax.lax.while_loop(cond, body, state)
+    return x, resid, it, inner
+
+
 class FGMRESIterativeSparseSolver(IterativeSparseSolver):
-    """Flexible GMRES via restarted Arnoldi cycles on device.  Each
-    ``__next__`` runs one restart cycle."""
+    """Flexible GMRES via first-party restarted Arnoldi cycles on
+    device (:func:`_fgmres_cycle`).  Each ``__next__`` runs one restart
+    cycle; ``solve()`` fuses all cycles into one compiled loop.  Both
+    paths share the same cycle program, so iterates and iteration
+    counts agree exactly.
+
+    ``current_iter`` counts restart CYCLES (one per ``__next__``, like
+    the stepwise protocol); ``total_inner_iterations`` counts Arnoldi
+    steps (matvecs) the convergence test needed — the reference RCI's
+    ipar iteration counter analog.
+    """
 
     solver_name = "fgmres"
     restart = 20
+    total_inner_iterations = 0
+
+    def _threshold_value(self):
+        thr = self._threshold()
+        return 1e-12 if thr == 0.0 else thr
 
     def solve_iteration(self):
-        op = self._operator()
-        x, _ = jax.scipy.sparse.linalg.gmres(
-            op,
-            jnp.asarray(self.b),
-            x0=jnp.asarray(self.x),
-            tol=self.r_tol,
-            atol=self.a_tol,
-            restart=min(self.restart, self.n),
-            maxiter=1,
-            solve_method="batched",
+        rows, cols, vals = self._operator_coo()
+        x, resid, ju = _fgmres_cycle(
+            rows, cols, vals,
+            jnp.asarray(self.b), jnp.asarray(self.x),
+            jnp.asarray(self._threshold_value(), jnp.float64),
+            n=self.n, restart=min(self.restart, self.n),
         )
         self.x = np.asarray(x)
-        r_norm = float(
-            jnp.linalg.norm(jnp.asarray(self.b) - op(jnp.asarray(self.x)))
-        )
-        return self._converged(r_norm)
+        self.total_inner_iterations += int(ju)
+        return float(resid) <= self._threshold_value()
 
     def solve(self):
-        """Full solve as one device-resident restarted-GMRES program:
-        all ``max_iter`` restart cycles run inside jax.scipy's internal
-        ``lax.while_loop``, with a single residual readback at the end
-        (the stepwise ``__next__`` path pays one readback per cycle)."""
+        """Full solve as ONE compiled device loop (O(1) host syncs);
+        honest cycle/inner-iteration counts read back with the
+        result."""
         if np.linalg.norm(self.b) == 0.0:
             self.x = np.zeros(self.n, dtype=np.float64)
             self.final_code = 0
             return self.x
 
-        op = self._operator()
-        b_dev = jnp.asarray(self.b)
-        x, _ = jax.scipy.sparse.linalg.gmres(
-            op,
-            b_dev,
-            x0=jnp.asarray(self.x),
-            tol=self.r_tol,
-            atol=self.a_tol,
-            restart=min(self.restart, self.n),
-            maxiter=self.max_iter,
-            solve_method="batched",
+        thr = self._threshold_value()
+        rows, cols, vals = self._operator_coo()
+        x, resid, cycles, inner = _fgmres_device_loop(
+            rows, cols, vals,
+            jnp.asarray(self.b), jnp.asarray(self.x),
+            jnp.asarray(thr, jnp.float64),
+            jnp.asarray(self.max_iter, jnp.int32),
+            n=self.n, restart=min(self.restart, self.n),
         )
-        r_norm = float(jnp.linalg.norm(b_dev - op(x)))
         self.x = np.asarray(x)
-        self.current_iter = self.max_iter
-        if self._converged(r_norm):
+        self.current_iter = int(cycles)
+        self.total_inner_iterations = int(inner)
+        if float(resid) <= thr:
             self.final_code = 0
         else:
             warnings.warn(

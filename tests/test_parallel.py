@@ -178,6 +178,38 @@ class TestShardedSpGEMM(unittest.TestCase):
         with self.assertRaises(ValueError):
             dot_product(A_rows, B_k)
 
+    def test_sharded_spgemm_f32(self):
+        from sparse_dot_tpu.parallel import (
+            shard_csr_grid,
+            shard_csr_krows,
+            sharded_spgemm,
+        )
+
+        A32 = self.A.astype(np.float32)
+        B32 = self.B.astype(np.float32)
+        A_grid = shard_csr_grid(A32, self.n_dev, self.mesh)
+        B_k = shard_csr_krows(B32, self.n_dev, self.mesh)
+        C = sharded_spgemm(self.mesh, A_grid, B_k)
+        self.assertEqual(C.dtype, np.float32)
+        np_almost_equal(C.toarray(), (A32 @ B32).toarray(), decimal=4)
+
+    def test_sharded_spgemm_structural_pattern(self):
+        """On-device compaction keeps MKL's structural pattern: an
+        exactly-cancelled output entry stays as an explicit zero."""
+        from sparse_dot_tpu.parallel import (
+            shard_csr_grid,
+            shard_csr_krows,
+            sharded_spgemm,
+        )
+
+        A = sps.csr_matrix(np.tile([[1.0, -1.0]], (8, 1)))
+        B = sps.csr_matrix(np.array([[1.0, 3.0], [1.0, 0.0]]))
+        A_grid = shard_csr_grid(A, self.n_dev, self.mesh)
+        B_k = shard_csr_krows(B, self.n_dev, self.mesh)
+        C = sharded_spgemm(self.mesh, A_grid, B_k)
+        self.assertEqual(C.nnz, 16)  # 8 explicit zeros + 8 values
+        np_almost_equal(C.toarray(), A.toarray() @ B.toarray())
+
 
 class TestShardedCGLS(unittest.TestCase):
     def test_sharded_least_squares(self):

@@ -190,6 +190,91 @@ class TestSparseSolverFGMRES(unittest.TestCase):
         self.assertEqual(code, 0)
         npt.assert_array_almost_equal(x, expect)
 
+    def test_fgmres_is_first_party(self):
+        """The FGMRES implementation is the in-repo Arnoldi/Givens
+        device loop, not a wrapper over jax.scipy's gmres."""
+        import inspect
+        from sparse_dot_tpu.solvers import iterative as it_mod
+
+        src = inspect.getsource(it_mod)
+        self.assertNotIn("jax.scipy.sparse.linalg", src)
+        self.assertIn("_fgmres_cycle", src)
+
+    def test_fgmres_fused_matches_stepwise(self):
+        """solve() (one compiled loop) must produce the same iterate
+        and the same honest cycle / inner-iteration counts as the
+        stepwise __next__ protocol — both share _fgmres_cycle."""
+        n = 40
+        rng = np.random.default_rng(21)
+        A = sps.random(n, n, density=0.3, random_state=22, format="csr")
+        A = (A + n * sps.identity(n)).tocsr()
+        b = rng.random(n)
+        with FGMRESIterativeSparseSolver(A, b, r_tol=1e-10) as fused:
+            x_fused = fused.solve()
+            fused_cycles = fused.current_iter
+            fused_inner = fused.total_inner_iterations
+        with FGMRESIterativeSparseSolver(A, b, r_tol=1e-10) as stepwise:
+            for _ in stepwise:
+                pass
+            x_step = stepwise.x
+            step_cycles = stepwise.current_iter
+            step_inner = stepwise.total_inner_iterations
+        self.assertEqual(fused.final_code, 0)
+        self.assertEqual(fused_cycles, step_cycles)
+        self.assertEqual(fused_inner, step_inner)
+        npt.assert_array_almost_equal(x_fused, x_step, decimal=10)
+
+    def test_fgmres_iteration_counts_honest(self):
+        """current_iter reflects the cycles actually run (a well-
+        conditioned small system converges in its first cycle), and
+        total_inner_iterations counts the Arnoldi steps the
+        convergence test needed — not max_iter fiction."""
+        n = 30
+        rng = np.random.default_rng(31)
+        A = (sps.identity(n) * 4.0).tocsr()
+        b = rng.random(n)
+        with FGMRESIterativeSparseSolver(
+            A, b, r_tol=1e-10, max_iter=50
+        ) as solver:
+            solver.solve()
+            self.assertEqual(solver.final_code, 0)
+            self.assertEqual(solver.current_iter, 1)
+            self.assertLess(solver.total_inner_iterations, 5)
+            self.assertGreater(solver.total_inner_iterations, 0)
+
+    def test_fgmres_max_iter_warns(self):
+        n = 40
+        rng = np.random.default_rng(41)
+        A = sps.random(n, n, density=0.3, random_state=42, format="csr")
+        A = (A + n * sps.identity(n)).tocsr()
+        b = rng.random(n)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            with FGMRESIterativeSparseSolver(
+                A, b, max_iter=1, r_tol=1e-30
+            ) as solver:
+                solver.restart = 2
+                solver.solve()
+            self.assertEqual(solver.final_code, -1)
+            self.assertEqual(solver.current_iter, 1)
+            self.assertTrue(
+                any(issubclass(x.category, ConvergenceWarning)
+                    for x in w)
+            )
+
+    def test_fgmres_restart_semantics(self):
+        """A small restart forces multiple cycles; the solver still
+        converges and counts every cycle."""
+        n = 40
+        rng = np.random.default_rng(51)
+        A = sps.random(n, n, density=0.3, random_state=52, format="csr")
+        A = (A + n * sps.identity(n)).tocsr()
+        b = rng.random(n)
+        expect = np.linalg.solve(A.toarray(), b)
+        x, code = fgmres(A, b, tol=1e-12, restart=4)
+        self.assertEqual(code, 0)
+        npt.assert_array_almost_equal(x, expect)
+
 
 if __name__ == "__main__":
     unittest.main()

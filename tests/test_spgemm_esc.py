@@ -125,13 +125,48 @@ class TestStructuralPattern(unittest.TestCase):
         self.assertEqual(C.indptr[1] - C.indptr[0], 2)  # row 0 holds 2
         np_almost_equal(C, A.toarray() @ B.toarray())
 
-    def test_default_path_drops_cancelled_entry(self):
-        # Documented divergence of the densify fast path: values match,
-        # the explicit zero is absent from the pattern (like scipy).
+    def test_default_path_keeps_cancelled_entry(self):
+        # Round 3: the DEFAULT path is structural too — the fused
+        # pattern matmul (``_xla.spgemm_structural_sorted``) makes the
+        # densify fast path emit MKL's structural pattern, so the
+        # explicit zero survives without opting into the ESC kernel.
         A, B = self._cancelling_pair()
         C = dot_product(A, B)
-        self.assertEqual(C.nnz, 3)
+        self.assertEqual(C.nnz, 4)
+        self.assertEqual(C[0, 0], 0.0)
+        self.assertEqual(C.indptr[1] - C.indptr[0], 2)
         np_almost_equal(C, A.toarray() @ B.toarray())
+
+    def test_device_resident_structural(self):
+        # The device-resident product (no host transfer) is structural
+        # as well, and its speculative sizing cache keys by structure
+        # tokens — repeat calls with changed values reuse the size.
+        A, B = self._cancelling_pair()
+        Ad, Bd = formats.to_device(A), formats.to_device(B)
+        C = hops.spgemm_device(Ad, Bd, out_dtype=np.float64)
+        self.assertEqual(int(C.indptr[-1]), 4)
+        C2 = hops.spgemm_device(Ad, Bd, out_dtype=np.float64,
+                                sync_check=False)
+        hops.validate_speculation()
+        self.assertEqual(int(C2.indptr[-1]), 4)
+
+    def test_blocked_path_structural(self):
+        # Force the row-blocked route (dense m x n over the budget, but
+        # densified B inside it) and check it keeps the explicit zeros
+        # (per-block pattern matmul).
+        old_blocked = hops._BLOCKED_SPGEMM_BYTES
+        old_block = hops._SPGEMM_ROW_BLOCK
+        hops._BLOCKED_SPGEMM_BYTES = 64
+        hops._SPGEMM_ROW_BLOCK = 3
+        try:
+            A = sps.csr_matrix(np.tile([[1.0, -1.0]], (8, 1)))
+            B = sps.csr_matrix(np.array([[1.0, 3.0], [1.0, 0.0]]))
+            C = dot_product(A, B)  # every row: [0 (explicit), 3]
+            self.assertEqual(C.nnz, 16)
+            np_almost_equal(C, A.toarray() @ B.toarray())
+        finally:
+            hops._BLOCKED_SPGEMM_BYTES = old_blocked
+            hops._SPGEMM_ROW_BLOCK = old_block
 
 
 class TestHugeRouting(unittest.TestCase):
