@@ -165,23 +165,42 @@ import json, time
 import numpy as np, scipy.sparse as sps
 import jax
 jax.config.update("jax_platforms", "cpu")
-from sparse_dot_tpu.parallel import make_mesh, shard_csr_rows, sharded_spmm
+from sparse_dot_tpu.parallel import (
+    make_mesh, shard_csr_rows, shard_csr_grid, shard_csr_krows,
+    sharded_spmm, sharded_spmm_ring, sharded_spgemm,
+)
+
+def timeit(run, reps=5):
+    run(); run()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter(); run(); ts.append(time.perf_counter()-t0)
+    return float(np.median(ts) * 1e3)
 
 A = sps.random(16384, 16384, density=0.004, format="csr",
                dtype=np.float32, random_state=0)
 b = np.random.default_rng(1).random((16384, 64)).astype(np.float32)
-out = {}
+out = {"replicated": {}, "ring": {}}
 for S in (1, 2, 4, 8):
     mesh = make_mesh((S, 1), ("rows", "cols"), devices=jax.devices()[:S])
     A_sh = shard_csr_rows(A, S, mesh)
     bj = jax.numpy.asarray(b)
-    def run():
-        return np.asarray(sharded_spmm(mesh, A_sh, bj))
-    run(); run()
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter(); run(); ts.append(time.perf_counter()-t0)
-    out[S] = float(np.median(ts) * 1e3)
+    out["replicated"][S] = timeit(
+        lambda: np.asarray(sharded_spmm(mesh, A_sh, bj)))
+    if S > 1:
+        A_grid = shard_csr_grid(A, S, mesh)
+        out["ring"][S] = timeit(
+            lambda: np.asarray(sharded_spmm_ring(mesh, A_grid, bj)))
+
+# ring sharded SpGEMM (fixed work, 8 shards): the 2-D partition path
+S = 8
+mesh = make_mesh((S, 1), ("rows", "cols"), devices=jax.devices()[:S])
+Bs = sps.random(16384, 512, density=0.01, format="csr",
+                dtype=np.float32, random_state=2)
+A_grid = shard_csr_grid(A, S, mesh)
+B_k = shard_csr_krows(Bs, S, mesh)
+out["spgemm_ring_8dev_ms"] = timeit(
+    lambda: sharded_spgemm(mesh, A_grid, B_k), reps=3)
 print(json.dumps(out))
 """
     env = dict(os.environ)
@@ -201,10 +220,20 @@ print(json.dumps(out))
             return {"error": ("no output; stderr: "
                               + res.stderr[-400:])}
         times = _json.loads(res.stdout.strip().splitlines()[-1])
+        rep, ring = times["replicated"], times["ring"]
         return {
-            "virtual_mesh_ms": times,
+            "virtual_mesh_ms": rep,
+            "ring_spmm_ms": ring,
             "sharding_overhead_factor_8dev": round(
-                times["1"] / times["8"], 3
+                rep["1"] / rep["8"], 3
+            ),
+            # ring-vs-replicated on fixed work: the price of never
+            # replicating B (the actual scaling story's overhead).
+            "ring_vs_replicated_8dev": round(
+                rep["8"] / ring["8"], 3
+            ) if "8" in ring else None,
+            "spgemm_ring_8dev_ms": round(
+                times["spgemm_ring_8dev_ms"], 3
             ),
         }
     except Exception as e:  # never fail the bench on the scaling probe

@@ -78,6 +78,10 @@ class _Config:
         # it on accelerator backends for large matmuls, "1"/"always"
         # forces it everywhere (tests), "0"/"never" disables.
         self.ozaki = os.environ.get("SPARSE_DOT_OZAKI", "auto")
+        # PARDISO dense-LU backing-store budget: systems whose dense
+        # factorization would exceed this fall back to a matrix-free
+        # Krylov solve (CG / FGMRES) with a RuntimeWarning.
+        self.pardiso_dense_budget_bytes = 2 << 30
 
     @property
     def index_dtype(self):

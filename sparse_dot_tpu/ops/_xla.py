@@ -597,20 +597,24 @@ def ell_spmm_binned(cols_flat, vals_flat, b, invpos, segs,
     ``segs`` is the static ((rmax, rows), ...) structure from
     :meth:`formats.CSR.ell_parts_binned`; rows are processed in sorted
     order and the output un-permutes with one row gather.  For f64 b,
-    ``split_b=True`` gathers two f32 planes instead (measured ~1.7x
-    the byte rate of an X64-rewriter f64 gather) and recombines to f64
-    before the exact f64 multiply-reduce (split exact to ~2^-49
+    ``split_b=True`` gathers ONE concatenated (k, 2n) f32 plane
+    holding hi|lo halves per row (measured ~1.8x the byte rate of an
+    X64-rewriter f64 gather, and ~15% over two separate f32 plane
+    gathers — half the gather ops for the same bytes) and recombines
+    to f64 before the exact f64 multiply-reduce (split exact to ~2^-49
     relative, same as every hi/lo path here).
     """
     n = b.shape[1]
     if split_b:
         b_hi, b_lo = _ozaki.hilo(b)
+        b_cat = jnp.concatenate([b_hi, b_lo], axis=1)  # (k, 2n) f32
 
     def gather_rows(idx):
         if split_b:
+            g = b_cat[idx]
             return (
-                b_hi[idx].astype(jnp.float64)
-                + b_lo[idx].astype(jnp.float64)
+                g[..., :n].astype(jnp.float64)
+                + g[..., n:].astype(jnp.float64)
             )
         return b[idx]
 
@@ -1001,6 +1005,33 @@ def extract_sparse_masked_checked(c_dense, mask_flat, count, prev_bad,
     vals, cols, indptr = extract_sparse_masked(c_dense, mask_flat, nnz)
     bad = prev_bad | (count != jnp.asarray(nnz, count.dtype))
     return vals, cols, indptr, bad
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m", "k", "n", "a_cm", "b_cm", "syrk", "use_ozaki",
+                     "triangular", "nnz"),
+)
+def spgemm_structural_extract(a_flat, a_vals, b_flat, b_vals, prev_bad,
+                              m, k, n, a_cm=False, b_cm=False,
+                              syrk=False, use_ozaki=False,
+                              triangular=False, nnz=0):
+    """The whole structural SpGEMM in ONE dispatch: numeric + pattern
+    + count + masked extraction at the (speculative) static ``nnz``,
+    with the sizing-validation flag merged in-program.  Steady-state
+    products with a cached size therefore cost exactly one program
+    launch and never materialize dense/mask round-trips through
+    dispatch boundaries.
+
+    Returns (vals, cols, indptr, count, bad).
+    """
+    c, mask_flat, count = spgemm_structural_sorted(
+        a_flat, a_vals, b_flat, b_vals, m=m, k=k, n=n, a_cm=a_cm,
+        b_cm=b_cm, syrk=syrk, use_ozaki=use_ozaki, triangular=triangular,
+    )
+    vals, cols, indptr = extract_sparse_masked(c, mask_flat, nnz)
+    bad = prev_bad | (count != jnp.asarray(nnz, count.dtype))
+    return vals, cols, indptr, count, bad
 
 
 @partial(jax.jit, static_argnames=("nnz",))

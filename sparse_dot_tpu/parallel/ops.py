@@ -44,6 +44,12 @@ class ShardedCSR:
     ``rows``/``cols``/``vals`` are (S, nnz_pad); ``rows`` holds
     LOCAL row ids with pad entries pointing at ``m_local`` (dropped).
 
+    Complex matrices are stored PLANAR (the TPU complex strategy used
+    throughout the package): ``vals`` gains a channel axis —
+    (S, 2, nnz_pad) — holding the real/imaginary parts, ``planar`` is
+    True, and the sharded kernels run the 4-real-product decomposition
+    inside one SPMD program.
+
     ``mesh``/``axis`` (set by :func:`shard_csr_rows`) let the public
     ``dot_product`` dispatch route a sharded operand automatically.
     """
@@ -51,7 +57,8 @@ class ShardedCSR:
     ndim = 2
 
     def __init__(self, rows, cols, vals, shape, m_local, n_shards,
-                 mesh=None, axis="rows"):
+                 mesh=None, axis="rows", planar=False,
+                 complex_dtype=None):
         self.rows = rows
         self.cols = cols
         self.vals = vals
@@ -60,21 +67,29 @@ class ShardedCSR:
         self.n_shards = int(n_shards)
         self.mesh = mesh
         self.axis = axis
+        self.planar = bool(planar)
+        self.complex_dtype = complex_dtype
 
     @property
     def dtype(self):
+        if self.planar and self.complex_dtype is not None:
+            return self.complex_dtype
         return self.vals.dtype
 
     def tree_flatten(self):
         return (self.rows, self.cols, self.vals), (
-            self.shape, self.m_local, self.n_shards
+            self.shape, self.m_local, self.n_shards, self.planar,
+            self.complex_dtype,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         rows, cols, vals = children
-        shape, m_local, n_shards = aux
-        return cls(rows, cols, vals, shape, m_local, n_shards)
+        shape, m_local, n_shards = aux[0], aux[1], aux[2]
+        planar = aux[3] if len(aux) > 3 else False
+        cdt = aux[4] if len(aux) > 4 else None
+        return cls(rows, cols, vals, shape, m_local, n_shards,
+                   planar=planar, complex_dtype=cdt)
 
 
 jax.tree_util.register_pytree_node(
@@ -103,9 +118,26 @@ def shard_csr_rows(matrix, n_shards, mesh=None, axis="rows"):
     # One-pass native packing (C++), NumPy fallback inside.
     from .. import native
 
-    rows_np, cols_np, vals_np = native.csr_shard_rows(
-        matrix.indptr, matrix.indices, matrix.data, m, m_local, n_shards
-    )
+    planar = np.iscomplexobj(matrix.data)
+    complex_dtype = matrix.data.dtype if planar else None
+    if planar:
+        # Planar split: identical index structure, two value channels.
+        rows_np, cols_np, re_np = native.csr_shard_rows(
+            matrix.indptr, matrix.indices,
+            np.ascontiguousarray(matrix.data.real), m, m_local,
+            n_shards,
+        )
+        _, _, im_np = native.csr_shard_rows(
+            matrix.indptr, matrix.indices,
+            np.ascontiguousarray(matrix.data.imag), m, m_local,
+            n_shards,
+        )
+        vals_np = np.stack([re_np, im_np], axis=1)  # (S, 2, nnz_pad)
+    else:
+        rows_np, cols_np, vals_np = native.csr_shard_rows(
+            matrix.indptr, matrix.indices, matrix.data, m, m_local,
+            n_shards,
+        )
     rows = jnp.asarray(rows_np)
     cols = jnp.asarray(cols_np)
     vals = jnp.asarray(vals_np)
@@ -118,7 +150,8 @@ def shard_csr_rows(matrix, n_shards, mesh=None, axis="rows"):
         vals = put_sharded(vals, mesh, P(axis))
 
     return ShardedCSR(rows, cols, vals, (m, k), m_local, n_shards,
-                      mesh=mesh, axis=axis)
+                      mesh=mesh, axis=axis, planar=planar,
+                      complex_dtype=complex_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -126,12 +159,58 @@ def shard_csr_rows(matrix, n_shards, mesh=None, axis="rows"):
 # ---------------------------------------------------------------------------
 
 
+def _complex_planes(arr):
+    """Host complex array -> (re, im) float device arrays (planar)."""
+    a = np.asarray(arr)
+    if np.iscomplexobj(a):
+        real_dt = np.float32 if a.dtype == np.complex64 else np.float64
+        return (jnp.asarray(np.ascontiguousarray(a.real, dtype=real_dt)),
+                jnp.asarray(np.ascontiguousarray(a.imag, dtype=real_dt)))
+    return jnp.asarray(a), None
+
+
 def sharded_spmm(mesh, A, b, axis="rows"):
     """C = A @ b with row-sharded A and replicated b; C is row-sharded.
 
-    Returns the full (padded rows trimmed) device array.
+    Planar-complex A (and/or complex b) runs the 4-real-product
+    decomposition inside ONE SPMD program, like the single-chip planar
+    path (``ops/host.py``); the result combines to complex on the
+    host.  Returns the full (padded rows trimmed) array.
     """
     m_local = A.m_local
+
+    if getattr(A, "planar", False) or np.iscomplexobj(np.asarray(b)):
+        br, bi = _complex_planes(b)
+        if bi is None:
+            bi = jnp.zeros_like(br)
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(), P()),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+        def _local_c(rows, cols, vals, br, bi):
+            r, c = rows[0], cols[0]
+            if getattr(A, "planar", False):
+                ar, ai = vals[0, 0], vals[0, 1]
+            else:
+                ar, ai = vals[0], None
+            rr = _xla._spmm_scatter_oneshot(r, c, ar, br, m_local)
+            ri = _xla._spmm_scatter_oneshot(r, c, ar, bi, m_local)
+            if ai is not None:
+                ii = _xla._spmm_scatter_oneshot(r, c, ai, bi, m_local)
+                ir = _xla._spmm_scatter_oneshot(r, c, ai, br, m_local)
+                return (rr - ii)[None], (ri + ir)[None]
+            return rr[None], ri[None]
+
+        cr, ci = jax.jit(_local_c)(A.rows, A.cols, A.vals, br, bi)
+        out_dtype = getattr(A, "complex_dtype", None) or (
+            np.complex64 if br.dtype == jnp.float32 else np.complex128
+        )
+        res = (np.asarray(cr) + 1j * np.asarray(ci)).astype(out_dtype)
+        return res.reshape(-1, res.shape[-1])[: A.shape[0]]
 
     @functools.partial(
         shard_map,
@@ -151,6 +230,12 @@ def sharded_spmm(mesh, A, b, axis="rows"):
 
 def sharded_spmv(mesh, A, x, axis="rows"):
     m_local = A.m_local
+
+    if getattr(A, "planar", False) or np.iscomplexobj(np.asarray(x)):
+        res = sharded_spmm(
+            mesh, A, np.asarray(x).reshape(-1, 1), axis=axis
+        )
+        return res.reshape(-1)
 
     @functools.partial(
         shard_map,
@@ -283,17 +368,32 @@ def shard_csr_grid(matrix, n_shards, mesh=None, axis="rows"):
             chunks[s, c] = (coo.row, coo.col, coo.data)
             nnz_pad = max(nnz_pad, coo.nnz)
 
+    planar = np.iscomplexobj(matrix.data)
+    complex_dtype = matrix.data.dtype if planar else None
+    real_dt = (
+        (np.float32 if complex_dtype == np.complex64 else np.float64)
+        if planar else matrix.data.dtype
+    )
     rows = np.full((n_shards, n_shards, nnz_pad), m_local, idx_dt)
     cols = np.zeros((n_shards, n_shards, nnz_pad), idx_dt)
-    vals = np.zeros((n_shards, n_shards, nnz_pad), matrix.data.dtype)
+    vshape = (
+        (n_shards, n_shards, 2, nnz_pad) if planar
+        else (n_shards, n_shards, nnz_pad)
+    )
+    vals = np.zeros(vshape, real_dt)
     for (s, c), (r, cc, v) in chunks.items():
         rows[s, c, : r.size] = r
         cols[s, c, : cc.size] = cc
-        vals[s, c, : v.size] = v
+        if planar:
+            vals[s, c, 0, : v.size] = v.real
+            vals[s, c, 1, : v.size] = v.imag
+        else:
+            vals[s, c, : v.size] = v
 
     out = ShardedCSR(
         jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
         (m, k), m_local, n_shards, mesh=mesh, axis=axis,
+        planar=planar, complex_dtype=complex_dtype,
     )
     out.k_local = k_local
     if mesh is not None:
@@ -317,48 +417,105 @@ def sharded_spmm_ring(mesh, A_grid, b, axis="rows"):
     m_local = A_grid.m_local
     k_local = A_grid.k_local
 
-    b = jnp.asarray(b)
-    n = b.shape[1]
+    planar_a = getattr(A_grid, "planar", False)
+    complex_b = np.iscomplexobj(np.asarray(b))
+    if planar_a or complex_b:
+        # Planar ring: b's real/imag planes travel CONCATENATED as one
+        # (k_local, 2n) block — one ppermute per step, same as real.
+        br, bi = _complex_planes(b)
+        if bi is None:
+            bi = jnp.zeros_like(br)
+        b = jnp.concatenate([br, bi], axis=1)
+        n = br.shape[1]
+        two_n = 2 * n
+    else:
+        b = jnp.asarray(b)
+        n = b.shape[1]
+        two_n = n
     k_pad = S * k_local
     if b.shape[0] < k_pad:
         b = jnp.concatenate(
-            [b, jnp.zeros((k_pad - b.shape[0], n), b.dtype)]
+            [b, jnp.zeros((k_pad - b.shape[0], two_n), b.dtype)]
         )
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
+        out_specs=P(axis) if not (planar_a or complex_b)
+        else (P(axis), P(axis)),
         check_vma=False,
     )
     def _ring(rows, cols, vals, b_block):
         s = jax.lax.axis_index(axis)
-        rows, cols, vals = rows[0], cols[0], vals[0]  # (S, nnz_pad)
-        b_cur = b_block.reshape(k_local, n)
+        rows, cols, vals = rows[0], cols[0], vals[0]
+        b_cur = b_block.reshape(k_local, two_n)
         perm = [(i, (i - 1) % S) for i in range(S)]
 
-        def step(t, carry):
-            c_acc, b_cur = carry
+        if not (planar_a or complex_b):
+
+            def step(t, carry):
+                c_acc, b_cur = carry
+                blk = (s + t) % S
+                r = jax.lax.dynamic_index_in_dim(rows, blk,
+                                                 keepdims=False)
+                c = jax.lax.dynamic_index_in_dim(cols, blk,
+                                                 keepdims=False)
+                v = jax.lax.dynamic_index_in_dim(vals, blk,
+                                                 keepdims=False)
+                gathered = v[:, None] * b_cur[c, :]
+                c_acc = c_acc.at[r].add(gathered, mode="drop")
+                # Rotate so the NEXT shard this device holds is block
+                # (s + t + 1): b shards flow "down" the ring.
+                b_next = jax.lax.ppermute(b_cur, axis, perm)
+                return (c_acc, b_next)
+
+            c0 = jnp.zeros((m_local + 1, two_n), vals.dtype)
+            c_acc, _ = jax.lax.fori_loop(0, S, step, (c0, b_cur))
+            return c_acc[None, :m_local]
+
+        def step_c(t, carry):
+            cr_acc, ci_acc, b_cur = carry
             blk = (s + t) % S
             r = jax.lax.dynamic_index_in_dim(rows, blk, keepdims=False)
             c = jax.lax.dynamic_index_in_dim(cols, blk, keepdims=False)
             v = jax.lax.dynamic_index_in_dim(vals, blk, keepdims=False)
-            gathered = v[:, None] * b_cur[c, :]
-            c_acc = c_acc.at[r].add(gathered, mode="drop")
-            # Rotate so the NEXT shard this device holds is block
-            # (s + t + 1): b shards flow "down" the ring.
+            if planar_a:
+                ar, ai = v[0], v[1]
+            else:
+                ar, ai = v, None
+            g = b_cur[c, :]
+            gr, gi = g[:, :n], g[:, n:]
+            rr = ar[:, None] * gr
+            ri = ar[:, None] * gi
+            if ai is not None:
+                rr = rr - ai[:, None] * gi
+                ri = ri + ai[:, None] * gr
+            cr_acc = cr_acc.at[r].add(rr, mode="drop")
+            ci_acc = ci_acc.at[r].add(ri, mode="drop")
             b_next = jax.lax.ppermute(b_cur, axis, perm)
-            return (c_acc, b_next)
+            return (cr_acc, ci_acc, b_next)
 
-        c0 = jnp.zeros((m_local + 1, n), vals.dtype)
-        c_acc, _ = jax.lax.fori_loop(0, S, step, (c0, b_cur))
-        return c_acc[None, :m_local]
+        real_dt = vals.dtype
+        c0 = jnp.zeros((m_local + 1, n), real_dt)
+        cr, ci, _ = jax.lax.fori_loop(
+            0, S, step_c, (c0, c0, b_cur)
+        )
+        return cr[None, :m_local], ci[None, :m_local]
 
     # b starts with shard s holding block s (the t=0 operand).
-    b_sharded = b.reshape(S, k_local, n)
-    c = jax.jit(_ring)(A_grid.rows, A_grid.cols, A_grid.vals, b_sharded)
-    return c.reshape(-1, n)[: A_grid.shape[0]]
+    b_sharded = b.reshape(S, k_local, two_n)
+    out = jax.jit(_ring)(
+        A_grid.rows, A_grid.cols, A_grid.vals, b_sharded
+    )
+    if planar_a or complex_b:
+        cr, ci = out
+        out_dtype = getattr(A_grid, "complex_dtype", None) or (
+            np.complex64 if cr.dtype == jnp.float32 else np.complex128
+        )
+        res = (np.asarray(cr) + 1j * np.asarray(ci)).astype(out_dtype)
+        return res.reshape(-1, n)[: A_grid.shape[0]]
+    return out.reshape(-1, n)[: A_grid.shape[0]]
 
 
 # ---------------------------------------------------------------------------

@@ -63,6 +63,18 @@ _factor_store = {}
 _next_key = itertools.count(1)
 
 
+def _needs_iterative(A_container, n):
+    """True when the dense-LU backing store would blow the device
+    budget (a_dense f64 + f32 LU ~ 12 bytes/element on the TPU mixed
+    path) and the solve must go matrix-free instead."""
+    budget = int(getattr(config, "pardiso_dense_budget_bytes", 2 << 30))
+    n_eff = 2 * n if (
+        np.dtype(A_container.dtype).kind == "c"
+        and not _backend.supports_native_complex()
+    ) else n
+    return n_eff * n_eff * 12 > budget
+
+
 @jax.jit
 def _lu_factor(a_dense):
     return jax.scipy.linalg.lu_factor(a_dense)
@@ -218,7 +230,28 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
         state["n"] = n
         state["structure_nnz"] = A_container.nnz
 
-    if do_factor:
+    if do_factor and _needs_iterative(A_container, n):
+        # Beyond the dense-LU budget the O(n^2) factorization cannot
+        # materialize on one chip; fall back to a matrix-free Krylov
+        # solve (CG for the symmetric mtypes, FGMRES otherwise) at
+        # phase 33 — the matrix itself is the "factorization".  MKL
+        # would OOC-spill here (iparm[59]); warning once keeps the
+        # divergence visible.
+        warnings.warn(
+            f"sparse_dot_tpu pardiso: n={n} exceeds the dense-LU "
+            "budget; phases 22/33 will run a matrix-free Krylov solve "
+            "(CG for symmetric mtype, FGMRES otherwise) instead of a "
+            "direct factorization",
+            RuntimeWarning,
+        )
+        state["iterative"] = True
+        state["container"] = A_container
+        state["mtype_sym"] = mtype in (2, -2)
+        state["dtype"] = A_container.dtype
+        state["embedded"] = False
+        state["lu"] = None
+
+    elif do_factor:
         a_dense, embedded = _densify_real_embedding(A_container, n)
         mixed = (
             a_dense.dtype == jnp.float64
@@ -238,6 +271,43 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
         state["mixed"] = mixed
         state["embedded"] = embedded
         state["dtype"] = A_container.dtype
+
+    if do_solve and state.get("iterative"):
+        from .iterative import _cg_device_loop, _fgmres_device_loop
+        from ..ops.host import coo_parts as _coo_parts
+
+        container = state["container"]
+        if np.dtype(container.dtype).kind == "c":
+            return _fail(B, pt, perm, -1, quiet)  # complex: LU only
+        rows, cols, vals = _coo_parts(container)[:3]
+        b_np = np.asarray(B, dtype=np.float64)
+        b_2d = b_np.reshape(-1, 1) if b_np.ndim == 1 else b_np
+        xs = []
+        for j in range(b_2d.shape[1]):
+            b_col = jnp.asarray(np.ascontiguousarray(b_2d[:, j]))
+            thr = jnp.asarray(
+                1e-10 * max(float(np.linalg.norm(b_2d[:, j])), 1e-300),
+                jnp.float64,
+            )
+            x0 = jnp.zeros((n,), jnp.float64)
+            if state.get("mtype_sym"):
+                x, rs, _ = _cg_device_loop(
+                    rows, cols, vals, b_col, x0, thr,
+                    jnp.asarray(5000, jnp.int32), n=n,
+                )
+                resid = float(jnp.sqrt(rs))
+            else:
+                x, resid_d, _, _ = _fgmres_device_loop(
+                    rows, cols, vals, b_col, x0, thr,
+                    jnp.asarray(200, jnp.int32), n=n, restart=40,
+                )
+                resid = float(resid_d)
+            if not np.isfinite(resid) or resid > float(thr) * 1e3:
+                return _fail(B, pt, perm, -4, quiet)
+            xs.append(np.asarray(x))
+        x = np.stack(xs, axis=1).reshape(b_np.shape)
+        X[...] = x.astype(np.asarray(B).dtype, copy=False)
+        return X, pt, perm, 0
 
     if do_solve:
         if "lu" not in state:

@@ -53,6 +53,73 @@ class TestShardedOps(unittest.TestCase):
         C = sharded_spmm_2d(mesh, A_sh, self.B)
         np_almost_equal(np.asarray(C), self.A.toarray() @ self.B)
 
+    def test_row_sharded_spmm_f32(self):
+        A32 = self.A.astype(np.float32)
+        A_sh = shard_csr_rows(A32, self.n_dev, self.mesh)
+        self.assertEqual(A_sh.dtype, np.float32)
+        C = sharded_spmm(self.mesh, A_sh, self.B.astype(np.float32))
+        np_almost_equal(np.asarray(C),
+                        A32.toarray() @ self.B.astype(np.float32),
+                        decimal=4)
+
+    def test_row_sharded_spmm_complex(self):
+        """Planar channels through shard_csr_rows: complex A x complex
+        b as 4 real SPMD products in one program."""
+        Ac = (self.A + 0.5j * self.A).tocsr().astype(np.complex128)
+        bc = self.B + 1j * self.B[:, ::-1]
+        A_sh = shard_csr_rows(Ac, self.n_dev, self.mesh)
+        self.assertTrue(A_sh.planar)
+        self.assertEqual(A_sh.dtype, np.complex128)
+        C = sharded_spmm(self.mesh, A_sh, bc)
+        np_almost_equal(np.asarray(C), Ac.toarray() @ bc)
+
+    def test_row_sharded_spmm_complex_real_b(self):
+        Ac = (self.A - 2j * self.A).tocsr().astype(np.complex128)
+        A_sh = shard_csr_rows(Ac, self.n_dev, self.mesh)
+        C = sharded_spmm(self.mesh, A_sh, self.B)
+        np_almost_equal(np.asarray(C), Ac.toarray() @ self.B)
+
+    def test_row_sharded_spmm_real_a_complex_b(self):
+        A_sh = shard_csr_rows(self.A, self.n_dev, self.mesh)
+        bc = self.B + 1j * self.B[:, ::-1]
+        C = sharded_spmm(self.mesh, A_sh, bc)
+        np_almost_equal(np.asarray(C), self.A.toarray() @ bc)
+
+    def test_row_sharded_spmv_complex(self):
+        Ac = (self.A + 1j * self.A.multiply(0.25)).tocsr().astype(
+            np.complex128
+        )
+        A_sh = shard_csr_rows(Ac, self.n_dev, self.mesh)
+        xc = self.B[:, 0] + 1j * self.B[:, 1]
+        y = sharded_spmv(self.mesh, A_sh, xc)
+        np_almost_equal(np.asarray(y), Ac.toarray() @ xc)
+
+    def test_ring_spmm_complex(self):
+        from sparse_dot_tpu.parallel import (
+            shard_csr_grid, sharded_spmm_ring,
+        )
+
+        Ac = (self.A + 0.5j * self.A).tocsr().astype(np.complex128)
+        bc = self.B + 1j * self.B[:, ::-1]
+        A_grid = shard_csr_grid(Ac, self.n_dev, self.mesh)
+        self.assertTrue(A_grid.planar)
+        C = sharded_spmm_ring(self.mesh, A_grid, bc)
+        np_almost_equal(np.asarray(C), Ac.toarray() @ bc)
+
+    def test_ring_spmm_complex64(self):
+        from sparse_dot_tpu.parallel import (
+            shard_csr_grid, sharded_spmm_ring,
+        )
+
+        Ac = (self.A + 0.5j * self.A).astype(np.complex64).tocsr()
+        bc = (self.B + 1j * self.B[:, ::-1]).astype(np.complex64)
+        A_grid = shard_csr_grid(Ac, self.n_dev, self.mesh)
+        C = sharded_spmm_ring(self.mesh, A_grid, bc)
+        self.assertEqual(C.dtype, np.complex64)
+        np_almost_equal(np.asarray(C),
+                        (Ac.toarray() @ bc).astype(np.complex64),
+                        decimal=3)
+
     def test_sharded_gram(self):
         A_sh = shard_csr_rows(self.A, self.n_dev, self.mesh)
         G = sharded_gram(self.mesh, A_sh)

@@ -13,6 +13,7 @@ import pickle
 import numpy as np
 import numpy.testing as npt
 import pytest
+import scipy.sparse as sps
 
 from sparse_dot_tpu import sparse_qr_solve
 from sparse_dot_tpu.solvers import pardiso, pardisoinit
@@ -170,3 +171,57 @@ def test_factorization_roundtrips_through_pickle(case):
     )
     assert err == 0
     npt.assert_array_almost_equal(X, _dense_oracle(case), decimal=3)
+
+
+def test_large_system_routes_to_krylov():
+    """Systems beyond the dense-LU budget solve matrix-free (CG for
+    symmetric mtype, FGMRES general) with a RuntimeWarning instead of
+    OOMing on an O(n^2) densify."""
+    import warnings as _warnings
+    from sparse_dot_tpu.config import config as _cfg
+
+    old = _cfg.pardiso_dense_budget_bytes
+    _cfg.pardiso_dense_budget_bytes = 1 << 10  # force the fallback
+    try:
+        n = 120
+        rng = np.random.default_rng(17)
+        M = sps.random(n, n, density=0.1, random_state=18,
+                       format="csr")
+        A = (M @ M.T + n * sps.identity(n)).tocsr()
+        b = rng.random(n)
+
+        # symmetric mtype -> CG
+        pt, iparm = pardisoinit(2)
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            X, pt, _, err = pardiso(A, b, pt, 2, iparm, 13)
+            assert any(issubclass(x.category, RuntimeWarning)
+                       for x in w)
+        assert err == 0
+        npt.assert_array_almost_equal(
+            X, np.linalg.solve(A.toarray(), b), decimal=6
+        )
+
+        # general mtype -> FGMRES
+        G = (sps.random(n, n, density=0.1, random_state=19,
+                        format="csr") + n * sps.identity(n)).tocsr()
+        pt2, iparm2 = pardisoinit(11)
+        with _warnings.catch_warnings(record=True):
+            _warnings.simplefilter("always")
+            X2, pt2, _, err2 = pardiso(G, b, pt2, 11, iparm2, 13)
+        assert err2 == 0
+        npt.assert_array_almost_equal(
+            X2, np.linalg.solve(G.toarray(), b), decimal=6
+        )
+
+        # multiple RHS through the same factor state
+        B2 = rng.random((n, 3))
+        with _warnings.catch_warnings(record=True):
+            _warnings.simplefilter("always")
+            X3, _, _, err3 = pardiso(G, B2, pt2, 11, iparm2, 33)
+        assert err3 == 0
+        npt.assert_array_almost_equal(
+            X3, np.linalg.solve(G.toarray(), B2), decimal=6
+        )
+    finally:
+        _cfg.pardiso_dense_budget_bytes = old
