@@ -18,7 +18,7 @@ import os
 
 import numpy as np
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 # ---------------------------------------------------------------------------
 # Index width policy (the LP64 / ILP64 analog)
@@ -68,10 +68,11 @@ class _Config:
         # sparse-output SpGEMM — bounds its device memory high-water
         # mark (~40 bytes/slot transient).
         self.spgemm_esc_block_elements = 1 << 22
-        # Force the ESC kernel for every sparse-output SpGEMM: its
-        # output pattern is structural (exactly-cancelled entries kept
-        # as explicit zeros, like MKL/scipy).  The default densify fast
-        # path cannot represent an explicit zero and drops them.
+        # Force the ESC kernel for every sparse-output SpGEMM (test
+        # hook).  Since round 3 every DEFAULT path is already
+        # structurally exact (the fused bf16 pattern matmul keeps
+        # cancelled entries as explicit zeros, like MKL/scipy); this
+        # flag only pins the kernel choice.
         self.spgemm_exact_pattern = False
         # Ozaki-scheme f64 matmul (exact bf16 slice products on the
         # MXU instead of XLA's ~0.4 TF/s f64 emulation): "auto" enables

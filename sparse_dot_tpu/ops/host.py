@@ -681,10 +681,22 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
         max_dup = int(row_nnz[lo:hi].max())
         dup_passes = max(0, int(np.ceil(np.log2(max(max_dup, 1)))))
 
-        # Device slices, padded to the bucket shapes.
-        rows_blk = rows_full[plo:phi].astype(jnp.int32) - lo
-        cols_blk = A.indices[plo:phi].astype(jnp.int32)
-        chans_blk = [c[plo:phi] for c in a_chans]
+        # Column-sort the block's A-nonzeros (host argsort): the
+        # expansion then walks B's index/value arrays in ASCENDING
+        # address order (contiguous runs per B row, runs themselves
+        # sorted), so the 4M-element b_indices/b_data gathers — the
+        # block body's dominant HBM cost — hit quasi-sequentially
+        # instead of jumping rows per A-nonzero.  The kernel's sort is
+        # order-agnostic, so this is free correctness-wise.
+        perm_np = np.argsort(
+            a_cols_np[plo:phi], kind="stable"
+        ).astype(np.int32)
+        perm = jnp.asarray(perm_np)
+
+        # Device slices, permuted and padded to the bucket shapes.
+        rows_blk = (rows_full[plo:phi].astype(jnp.int32) - lo)[perm]
+        cols_blk = A.indices[plo:phi].astype(jnp.int32)[perm]
+        chans_blk = [c[plo:phi][perm] for c in a_chans]
         pad = nnz_pad - nnz_blk
         if pad:
             rows_blk = jnp.concatenate(
@@ -699,9 +711,10 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
             ]
         a_vals_blk = jnp.stack(chans_blk)
 
-        offsets = ext_cum[plo: phi + 1] - ext_cum[plo]
+        ext_blk = ext[plo:phi][perm_np]
         offsets = np.concatenate(
-            [offsets, np.full(nnz_pad - nnz_blk, e_blk, np.int64)]
+            [[0], np.cumsum(ext_blk),
+             np.full(nnz_pad - nnz_blk, e_blk, np.int64)]
         ).astype(np.int32)
 
         out = _xla.esc_spgemm_block(

@@ -133,3 +133,53 @@ def test_esc_spgemm_on_hardware():
         npt.assert_allclose(C.data, O.data, rtol=1e-12, atol=1e-13)
     finally:
         config.spgemm_exact_pattern = config_prev
+
+
+def test_structural_pattern_on_hardware():
+    """The default sparse-output path keeps exactly-cancelled entries
+    as explicit zeros (pattern matmul) on the real backend — both the
+    host-extract small path and the fused device-resident path."""
+    A = sps.csr_matrix(np.array([[1.0, -1.0], [2.0, 0.0]]))
+    B = sps.csr_matrix(np.array([[1.0, 3.0], [1.0, 0.0]]))
+    C = sdt.dot_product(A, B)
+    assert C.nnz == 4 and C[0, 0] == 0.0
+    npt.assert_allclose(C.toarray(), A.toarray() @ B.toarray())
+
+    Ad, Bd = formats.to_device(A), formats.to_device(B)
+    Cd = hops.spgemm_device(Ad, Bd, out_dtype=np.float64)
+    assert int(Cd.indptr[-1]) == 4
+    # steady state: fused single-dispatch extraction with cached size
+    Cd2 = hops.spgemm_device(Ad, Bd, out_dtype=np.float64,
+                             sync_check=False)
+    hops.validate_speculation()
+    assert int(Cd2.indptr[-1]) == 4
+
+
+def test_structural_matches_scipy_on_hardware():
+    """Medium product through the fused structural program vs the
+    scipy oracle (pattern AND values) on the real backend."""
+    A = sps.random(300, 400, density=0.05, format="csr",
+                   dtype=np.float64, random_state=11)
+    B = sps.random(400, 350, density=0.05, format="csr",
+                   dtype=np.float64, random_state=12)
+    C = sdt.dot_product(A, B)
+    oracle = A @ B
+    oracle.sort_indices()
+    assert C.nnz == oracle.nnz
+    npt.assert_array_equal(C.indptr, oracle.indptr)
+    npt.assert_array_equal(C.indices, oracle.indices)
+    npt.assert_allclose(C.data, oracle.data, atol=1e-10)
+
+
+def test_fgmres_on_hardware():
+    """First-party FGMRES device loop converges on the real backend."""
+    from sparse_dot_tpu.solvers import fgmres
+
+    n = 48
+    rng = np.random.default_rng(21)
+    A = (sps.random(n, n, density=0.25, random_state=22, format="csr")
+         + n * sps.identity(n)).tocsr()
+    b = rng.random(n)
+    x, code = fgmres(A, b, tol=1e-12)
+    assert code == 0
+    npt.assert_allclose(x, np.linalg.solve(A.toarray(), b), atol=1e-8)
