@@ -465,13 +465,14 @@ def main():
 
     gram_c128_dev_ms = _pipelined(gram_c128_device, s_arr, reps=3)
 
-    # --- ESC sparse-output SpGEMM (the any-size kernel) ---------------
+    # --- ESC sparse-output SpGEMM (the any-size driver) ---------------
     # The HEADLINE metric above is already the structural sparse-output
-    # product (round 3 made the pattern-matmul path the default, so
-    # "exact-pattern mode" costs what the headline costs).  This forces
-    # the raw ESC kernel on the same workload — the regime where the
-    # dense intermediate could NOT fit (it can here; this is its
-    # worst case, 56M-slot expansion for a 500x500 output).
+    # product (round 3 made the pattern-matmul path the default).  This
+    # times the any-size driver on the same workload: since round 3 it
+    # is ADAPTIVE — dense-ish operands route to the MXU row-blocked
+    # body instead of the 56M-slot expand-sort-compress detour that
+    # cost 6.1 s in round 2.  The raw sort kernel is timed in its own
+    # regime below (1M x 1M, where no dense intermediate can exist).
     esc_ms = _median(
         lambda: hops.spgemm_esc_arrays(A, B, np.float64)[0], reps=3
     )

@@ -171,7 +171,9 @@ def main():
     t = pipelined(lambda: compact(skey, sval), s_tuple)
     print(f"esc_compact_ms={t:.1f}", flush=True)
 
-    # full ESC wall time at two budgets
+    # full ESC wall time at two budgets (sort kernel pinned; the
+    # adaptive driver would route this workload to the blocked body)
+    config.spgemm_esc_force_sort = True
     for bud in (1 << 22, 1 << 23):
         config.spgemm_esc_block_elements = bud
         t0 = time.perf_counter()

@@ -64,6 +64,11 @@ class _Config:
         # wins at low density; disable to force the densify/scatter
         # paths.
         self.ell_spmm_enabled = True
+        # Hand-written Pallas ELL SpMM with B resident in VMEM (lane
+        # dynamic-gather).  Off until the hardware measurement of the
+        # round-3 kernel lands; the XLA binned-gather path is the
+        # default either way.
+        self.pallas_ell_enabled = False
         # Expansion budget (scalar products per row block) of the ESC
         # sparse-output SpGEMM — bounds its device memory high-water
         # mark (~40 bytes/slot transient).
@@ -74,6 +79,16 @@ class _Config:
         # cancelled entries as explicit zeros, like MKL/scipy); this
         # flag only pins the kernel choice.
         self.spgemm_exact_pattern = False
+        # Pin the expand-sort-compress kernel inside the any-size
+        # sparse-output driver (tests / benchmarking the truly-sparse
+        # regime).  Default False: the driver routes to the MXU
+        # row-blocked body whenever densified B fits the device budget,
+        # which is algorithmically far faster on dense-ish operands.
+        self.spgemm_esc_force_sort = False
+        # ESC sort-payload strategy: "auto" co-sorts narrow payloads
+        # and switches to (key, iota) sort + permutation gathers for
+        # wide ones (f64 / planar complex); True/False pin it.
+        self.spgemm_esc_perm_sort = "auto"
         # Ozaki-scheme f64 matmul (exact bf16 slice products on the
         # MXU instead of XLA's ~0.4 TF/s f64 emulation): "auto" enables
         # it on accelerator backends for large matmuls, "1"/"always"

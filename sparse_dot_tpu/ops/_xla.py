@@ -946,6 +946,51 @@ def pattern_mask_sorted(a_flat, b_flat, m, k, n, a_cm=False, b_cm=False,
     return mask_flat, jnp.sum(mask_flat.astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("mb", "k", "use_ozaki", "precision",
+                                   "triangular"))
+def spgemm_block_structural_mxu(a_flat, a_vals, b_num, b_ind, row_offset,
+                                mb, k, use_ozaki=False, precision=None,
+                                triangular=False):
+    """One row block of the blocked structural SpGEMM, MXU body.
+
+    Unlike :func:`spmm_block_structural` (scatter numeric phase), this
+    densifies the block's A rows with the sorted-set fast scatter
+    (local flat index ``row_local * k + col`` is ascending for CSR row
+    slices) and runs the numeric phase as one ``dot_general`` — Ozaki
+    bf16 slices for f64 — the same formulation the one-shot
+    ``spgemm_structural_sorted`` path measured fastest on TPU.
+
+    ``b_num`` is ``(b_dense,)`` or the f64 hi/lo pair ``(b_hi, b_lo)``;
+    ``b_ind`` the bf16 structural indicator of B.  ``row_offset`` (device
+    scalar) places the block for the global-triangle mask.
+
+    Returns (c_block, mask_block, count).
+    """
+    if use_ozaki:
+        a_hi, a_lo = densify_sorted_hilo(a_flat, a_vals, (mb, k))
+        b_hi, b_lo = b_num
+        c = _ozaki.matmul_hilo(a_hi, a_lo, b_hi, b_lo)
+    else:
+        a_dense = densify_sorted(a_flat, a_vals, (mb, k))
+        c = lax.dot_general(
+            a_dense, b_num[0], (((1,), (0,)), ((), ())),
+            precision=_prec(a_vals.dtype, precision),
+        )
+    ind_a = _indicator_sorted(a_flat, mb * k).reshape(mb, k)
+    p = lax.dot_general(
+        ind_a, b_ind, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mask = p > 0
+    n = b_ind.shape[1]
+    if triangular:
+        col_ids = lax.broadcasted_iota(jnp.int32, (mb, n), 1)
+        row_ids = lax.broadcasted_iota(jnp.int32, (mb, n), 0) + row_offset
+        mask = mask & (col_ids >= row_ids)
+    count = jnp.sum(mask.astype(jnp.int32))
+    return c, mask, count
+
+
 @partial(jax.jit, static_argnames=("m",))
 def spmm_block_structural(rows, cols, vals, b_dense, b_ind, m):
     """One row block of the blocked structural SpGEMM: the numeric
@@ -1114,12 +1159,12 @@ def count_nonzero(c_dense):
 @partial(
     jax.jit,
     static_argnames=("e_pad", "mb", "n", "nchan", "key64", "dup_passes",
-                     "triangular"),
+                     "triangular", "perm_sort"),
 )
 def esc_spgemm_block(a_rows, a_cols, a_vals, offsets, e_total,
                      b_indptr, b_indices, b_data, row_offset,
                      e_pad, mb, n, nchan, key64, dup_passes,
-                     triangular=False):
+                     triangular=False, perm_sort=False):
     """One row-block of the ESC SpGEMM; everything static-shaped.
 
     a_rows/a_cols : (nnz_pad,) LOCAL row ids (pad rows = mb) / col ids.
@@ -1163,8 +1208,18 @@ def esc_spgemm_block(a_rows, a_cols, a_vals, offsets, e_total,
             jnp.where(valid, ar * bi + ai * br, 0),
         )
 
-    sorted_ops = lax.sort((key,) + chans, dimension=0, num_keys=1)
-    skey, svals = sorted_ops[0], list(sorted_ops[1:])
+    if perm_sort:
+        # Sort (key, iota32) and gather the value channels through the
+        # permutation: on TPU the X64 rewriter makes every f64 sort
+        # payload two extra i32 operands in the sort network, so for
+        # f64 / planar-complex values one i32 payload + one gather per
+        # channel moves fewer bytes through the O(n log^2 n) passes.
+        iota = jnp.arange(e_pad, dtype=jnp.int32)
+        skey, sidx = lax.sort((key, iota), dimension=0, num_keys=1)
+        svals = [c[sidx] for c in chans]
+    else:
+        sorted_ops = lax.sort((key,) + chans, dimension=0, num_keys=1)
+        skey, svals = sorted_ops[0], list(sorted_ops[1:])
 
     svalid = skey < jnp.asarray(mb, kdt) * n
     head = jnp.concatenate(
@@ -1198,6 +1253,12 @@ def esc_spgemm_block(a_rows, a_cols, a_vals, offsets, e_total,
     # never saw it).  Measured at 4M slots: sort 36 ms vs honest
     # scatter-add 135 ms vs unhinted set-scatter 100 ms.
     rank = jnp.where(head, seg, e_pad)
+    if perm_sort:
+        iota = jnp.arange(e_pad, dtype=jnp.int32)
+        _, cidx = lax.sort((rank, iota), dimension=0, num_keys=1)
+        return (skey[cidx],) + tuple(v[cidx] for v in svals) + (
+            count.astype(jnp.int32),
+        )
     compacted = lax.sort((rank, skey) + tuple(svals), dimension=0,
                          num_keys=1)
     return tuple(compacted[1:]) + (count.astype(jnp.int32),)

@@ -161,6 +161,26 @@ def _real_spmm(A, a_data, b_dev, transpose):
     nnz = int(a_data.reshape(-1).shape[0])
 
     if _prefer_ell(A, a_data, m, k, n, nnz, transpose):
+        if _use_pallas_ell(A, a_data, m, k, n):
+            from . import pallas_ell
+
+            ell = A.ell_parts(data=a_data)
+            if ell is not None:
+                try:
+                    return pallas_ell.ell_spmm_pallas(
+                        ell[0], ell[1], b_dev, m=m
+                    )
+                except (jax.errors.JaxRuntimeError,
+                        NotImplementedError) as e:
+                    import warnings
+
+                    warnings.warn(
+                        "sparse_dot_tpu: Pallas ELL kernel failed to "
+                        "compile; falling back to the XLA gather path "
+                        f"for this process ({type(e).__name__}: {e})",
+                        RuntimeWarning,
+                    )
+                    config.pallas_ell_enabled = False
         if getattr(config, "ell_binned", True):
             binned = A.ell_parts_binned(data=a_data)
             if binned is not None:
@@ -230,6 +250,22 @@ def _ell_chunks(ell_shape, n, dtype, budget=1 << 31):
     while bytes_total // nchunks > budget and nchunks < 256:
         nchunks *= 2
     return nchunks
+
+
+def _use_pallas_ell(A, a_data, m, k, n):
+    """Gate the Pallas resident-B ELL kernel: TPU platform, real f32 /
+    f64 CSR, B^T + accumulator within the VMEM budget.  Off by default
+    (``config.pallas_ell_enabled``) until the hardware measurement
+    flips it — the XLA binned-gather path is the fallback either way."""
+    from ..backend import default_platform
+
+    if not getattr(config, "pallas_ell_enabled", False):
+        return False
+    if default_platform() == "cpu":
+        return False
+    from . import pallas_ell
+
+    return pallas_ell.ell_pallas_available(a_data.dtype, m, k, n)
 
 
 def _use_pallas_bsr(A, b_dev):
@@ -461,15 +497,28 @@ def _blocked_spgemm_arrays(A, B, out_dtype, triangular):
     """Row-blocked structural SpGEMM: for each block of A's rows, run
     the fused numeric-plus-pattern phase against (densified) B and
     compact, concatenating CSR arrays on the host.  Bounds device
-    memory at row_block x n per block; output pattern is structural
-    (pattern matmul per block — see ``_xla.spmm_block_structural``)."""
+    memory at row_block x n per block; output pattern is structural.
+
+    The block body is the MXU formulation
+    (:func:`_xla.spgemm_block_structural_mxu`): sorted-set densify of
+    the A row block + one ``dot_general`` (Ozaki bf16 slices for f64)
+    + bf16 pattern matmul — the same shape as the one-shot structural
+    path, which measured ~5x faster than the scatter body this route
+    used through round 2."""
     A = A if isinstance(A, formats.CSR) else _to_csr(A)
     m, k = A.shape
     n = B.shape[1]
     indptr_np = np.asarray(A.indptr)
 
     b_rows, b_cols, b_vals, _, _ = coo_parts(B)
+    use_oz = _xla._ozaki.enabled(
+        A.data.dtype, k, min(m, _SPGEMM_ROW_BLOCK) * k * n
+    )
     b_dense = _xla.densify(b_rows, b_cols, b_vals, (k, n))
+    if use_oz:
+        b_num = _hilo_jit(b_dense)
+    else:
+        b_num = (b_dense,)
     b_ind = _xla.densify_indicator(b_rows, b_cols, (k, n))
 
     block = _SPGEMM_ROW_BLOCK
@@ -482,6 +531,7 @@ def _blocked_spgemm_arrays(A, B, out_dtype, triangular):
 
     all_vals, all_cols, all_counts = [], [], []
     rows_full = A.row_indices()
+    fdt = jnp.int64 if block * k >= (1 << 31) else jnp.int32
     pending = []
 
     def _drain():
@@ -490,10 +540,6 @@ def _blocked_spgemm_arrays(A, B, out_dtype, triangular):
         for lo, hi, dense_blk, mask_blk in pending:
             dense_np = np.asarray(dense_blk)[: hi - lo]
             mask = np.asarray(mask_blk)[: hi - lo]
-            if triangular:
-                # Global triangle: drop below the global diagonal.
-                r_idx = np.arange(lo, hi)[:, None]
-                mask = mask & (np.arange(n)[None, :] >= r_idx)
             r, c = np.nonzero(mask)
             all_vals.append(dense_np[r, c])
             all_cols.append(c)
@@ -503,22 +549,25 @@ def _blocked_spgemm_arrays(A, B, out_dtype, triangular):
     for i in range(nblocks):
         lo, hi = i * block, min((i + 1) * block, m)
         plo, phi = int(indptr_np[lo]), int(indptr_np[hi])
-        rows_blk = rows_full[plo:phi] - lo
-        cols_blk = A.indices[plo:phi]
+        # Local flat index (ascending for a CSR row slice) feeds the
+        # sorted-set densify.
+        flat_blk = (
+            (rows_full[plo:phi] - lo).astype(fdt) * k
+            + A.indices[plo:phi].astype(fdt)
+        )
         vals_blk = A.data[plo:phi]
         pad = nnz_pad - (phi - plo)
         if pad:
-            rows_blk = jnp.concatenate(
-                [rows_blk, jnp.full((pad,), block, rows_blk.dtype)]
-            )
-            cols_blk = jnp.concatenate(
-                [cols_blk, jnp.zeros((pad,), cols_blk.dtype)]
+            flat_blk = jnp.concatenate(
+                [flat_blk, jnp.full((pad,), block * k, fdt)]
             )
             vals_blk = jnp.concatenate(
                 [vals_blk, jnp.zeros((pad,), vals_blk.dtype)]
             )
-        dense_blk, mask_blk = _xla.spmm_block_structural(
-            rows_blk, cols_blk, vals_blk, b_dense, b_ind, m=block
+        dense_blk, mask_blk, _cnt = _xla.spgemm_block_structural_mxu(
+            flat_blk, vals_blk, b_num, b_ind,
+            jnp.asarray(lo, jnp.int32),
+            mb=block, k=k, use_ozaki=use_oz, triangular=triangular,
         )
         pending.append((lo, hi, dense_blk, mask_blk))
         if len(pending) >= 4:  # bound device memory to 4 row panels
@@ -538,6 +587,9 @@ def _to_csr(container):
     from ..interface import convert_container_to_csr
 
     return convert_container_to_csr(container)
+
+
+_hilo_jit = jax.jit(_xla._ozaki.hilo)
 
 
 # ---------------------------------------------------------------------------
@@ -561,6 +613,19 @@ def _value_channels(container, nchan):
     return (container.data, jnp.zeros_like(container.data))
 
 
+def _esc_perm_sort(real_dtype, nchan):
+    """Sort (key, iota) + per-channel gathers instead of co-sorting
+    wide payloads: pays off when the payload is wider than one i32 (f64
+    values under the X64 rewriter, or two planar channels).  ``auto``
+    (default) applies exactly that rule; config pins it for benchs."""
+    mode = getattr(config, "spgemm_esc_perm_sort", "auto")
+    if mode in (True, "always", "1"):
+        return True
+    if mode in (False, "never", "0"):
+        return False
+    return nchan > 1 or np.dtype(real_dtype).itemsize == 8
+
+
 def _pow2_bucket(x, lo=1 << 12):
     b = lo
     while b < x:
@@ -577,12 +642,38 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
     device memory is bounded by the per-block expansion budget, never by
     m x n, and the output pattern is structural (cancelled entries are
     kept as explicit zeros, like MKL/scipy).
+
+    Adaptive (round 3): when densified B fits the device budget the
+    expand-sort-compress machinery is the WRONG algorithm — a block's
+    expansion (one slot per scalar product) can exceed its output a
+    hundredfold on dense-ish operands, and the headline workload
+    measured 116x slower than MKL through it in round 2.  Real-dtype
+    products whose row-panel and densified-B both fit route to the
+    MXU row-blocked body instead (same structural output, same memory
+    bound per block); ``config.spgemm_esc_force_sort`` pins the sort
+    kernel (tests / the truly-sparse regime's benchmark).
     """
     A = A if isinstance(A, formats.CSR) else _to_csr(A)
     B = B if isinstance(B, formats.CSR) else _to_csr(B)
     m, k = A.shape
     n = B.shape[1]
     nchan = 2 if np.dtype(out_dtype).kind == "c" else 1
+
+    if not getattr(config, "spgemm_esc_force_sort", False) and nchan == 1:
+        itemsize = np.dtype(out_dtype).itemsize
+        dense_ok = (
+            k * n * itemsize <= _BLOCKED_SPGEMM_BYTES
+            and m * k * itemsize <= _BLOCKED_SPGEMM_BYTES
+            and n * _SPGEMM_ROW_BLOCK * itemsize <= (512 << 20)
+            and k * _SPGEMM_ROW_BLOCK * itemsize <= (512 << 20)
+        )
+        if dense_ok:
+            # Same ladder as the default path: small products fuse
+            # numeric+pattern+count into ONE dispatch, medium ones
+            # extract on device, huge ones run row-blocked — all
+            # structurally exact, all far faster than expanding
+            # dense-ish operands through the sort kernel.
+            return _spgemm_routed(A, B, out_dtype, triangular)
     real_dtype = np.dtype(out_dtype) if nchan == 1 else (
         np.float32 if np.dtype(out_dtype) == np.complex64 else np.float64
     )
@@ -724,6 +815,7 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
             jnp.asarray(lo, jnp.int32),
             e_pad=e_pad, mb=mb_bucket, n=n, nchan=nchan,
             key64=key64, dup_passes=dup_passes, triangular=triangular,
+            perm_sort=_esc_perm_sort(real_dtype, nchan),
         )
         okey, ovals, count = out[0], out[1:-1], out[-1]
         wave.append((lo, hi, mb, e_pad, okey, ovals, count))
@@ -822,12 +914,17 @@ def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
       both fit comfortably, otherwise the ESC kernel, whose memory is
       bounded by the expansion budget, never by m x n.
     """
+    if getattr(config, "spgemm_exact_pattern", False):
+        return spgemm_esc_arrays(A, B, out_dtype, triangular=triangular)
+    return _spgemm_routed(A, B, out_dtype, triangular)
+
+
+def _spgemm_routed(A, B, out_dtype, triangular):
+    """The structural-output routing ladder (shared by the default path
+    and the any-size driver's adaptive branch)."""
     m, n = A.shape[0], B.shape[1]
     k = A.shape[1]
     itemsize = np.dtype(out_dtype).itemsize
-
-    if getattr(config, "spgemm_exact_pattern", False):
-        return spgemm_esc_arrays(A, B, out_dtype, triangular=triangular)
 
     small = m * n * itemsize <= _HOST_EXTRACT_BYTES
     is_complex = (
@@ -839,6 +936,7 @@ def spgemm_sparse_arrays(A, B, out_dtype, triangular=False):
             not is_complex
             and k * n * itemsize <= _BLOCKED_SPGEMM_BYTES  # dense B fits
             and n * _SPGEMM_ROW_BLOCK * itemsize <= (512 << 20)
+            and k * _SPGEMM_ROW_BLOCK * itemsize <= (512 << 20)  # A panel
         )
         if blocked_ok:
             return _blocked_spgemm_arrays(A, B, out_dtype, triangular)

@@ -27,10 +27,15 @@ class TestESCKernel(unittest.TestCase):
         self.Ad = formats.to_device(self.A)
         self.Bd = formats.to_device(self.B)
         self._budget = config.spgemm_esc_block_elements
+        # Pin the expand-sort-compress kernel: these are kernel-level
+        # checks, and the adaptive driver would route these sizes to
+        # the MXU row-blocked body.
+        config.spgemm_esc_force_sort = True
 
     def tearDown(self):
         config.spgemm_esc_block_elements = self._budget
         config.spgemm_exact_pattern = False
+        config.spgemm_esc_force_sort = False
 
     def _run(self, A, B, dtype, **kw):
         data, idx, indptr = hops.spgemm_esc_arrays(
@@ -73,6 +78,19 @@ class TestESCKernel(unittest.TestCase):
         C = self._run(self.A.tocsc(), self.B.tocsc(), np.float64)
         np_almost_equal(C, self.A @ self.B)
 
+    def test_sort_strategies_agree(self):
+        # auto picks perm-sort for f64; pinning co-sort must give the
+        # identical structural product.
+        C_perm = self._run(self.A, self.B, np.float64)
+        config.spgemm_esc_perm_sort = False
+        try:
+            C_cosort = self._run(self.A, self.B, np.float64)
+        finally:
+            config.spgemm_esc_perm_sort = "auto"
+        self.assertEqual(C_perm.nnz, C_cosort.nnz)
+        npt.assert_array_equal(C_perm.indices, C_cosort.indices)
+        npt.assert_allclose(C_perm.data, C_cosort.data, rtol=0, atol=0)
+
     def test_duplicate_heavy_rows(self):
         # A dense-ish row multiplying a dense-ish B column exercises the
         # doubling-pass segment sums at high duplicate counts.
@@ -97,6 +115,82 @@ class TestESCKernel(unittest.TestCase):
         C = self._run(A, B, np.float64)
         self.assertEqual(C.nnz, 0)
         np_almost_equal(C, A @ B)
+
+
+class TestESCAdaptiveRouting(unittest.TestCase):
+    """The any-size driver picks the right algorithm per workload: the
+    MXU row-blocked body when densified B fits, the sort kernel when it
+    cannot — both structurally exact."""
+
+    def test_routes_to_dense_ladder_when_b_fits(self):
+        A, B = make_matrixes(300, 250, 200, 0.05)
+        Ad, Bd = formats.to_device(A), formats.to_device(B)
+        calls = []
+        orig = hops._spgemm_routed
+        hops._spgemm_routed = (
+            lambda *a, **k: calls.append(1) or orig(*a, **k)
+        )
+        try:
+            data, idx, indptr = hops.spgemm_esc_arrays(Ad, Bd, np.float64)
+        finally:
+            hops._spgemm_routed = orig
+        self.assertEqual(len(calls), 1)
+        C = sps.csr_matrix(
+            (data, idx, indptr), shape=(A.shape[0], B.shape[1])
+        )
+        np_almost_equal(C, A @ B)
+
+    def test_force_sort_pins_kernel(self):
+        A, B = make_matrixes(300, 250, 200, 0.05)
+        Ad, Bd = formats.to_device(A), formats.to_device(B)
+        config.spgemm_esc_force_sort = True
+        try:
+            orig = hops._blocked_spgemm_arrays
+            hops._blocked_spgemm_arrays = None  # would raise if routed
+            try:
+                data, idx, indptr = hops.spgemm_esc_arrays(
+                    Ad, Bd, np.float64
+                )
+            finally:
+                hops._blocked_spgemm_arrays = orig
+        finally:
+            config.spgemm_esc_force_sort = False
+        C = sps.csr_matrix(
+            (data, idx, indptr), shape=(A.shape[0], B.shape[1])
+        )
+        np_almost_equal(C, A @ B)
+
+    def test_complex_stays_on_sort_kernel(self):
+        # The blocked MXU body is real-only; complex products keep the
+        # sort kernel regardless of size.
+        A, B = make_matrixes(60, 50, 40, 0.1)
+        Ac = (A + 1j * A.multiply(0.5)).tocsr()
+        Bc = (B - 2j * B).tocsr()
+        data, idx, indptr = hops.spgemm_esc_arrays(
+            formats.to_device(Ac), formats.to_device(Bc), np.complex128
+        )
+        C = sps.csr_matrix(
+            (data, idx, indptr), shape=(Ac.shape[0], Bc.shape[1])
+        )
+        np_almost_equal(C, Ac @ Bc)
+
+    def test_blocked_triangular_offset(self):
+        # Several blocks with a global triangle: the in-kernel mask must
+        # use the block's global row offset.
+        old_block = hops._SPGEMM_ROW_BLOCK
+        hops._SPGEMM_ROW_BLOCK = 64
+        try:
+            A = sps.random(200, 150, density=0.08, format="csr",
+                           dtype=np.float64, random_state=11)
+            B = A.T.tocsr()
+            data, idx, indptr = hops.spgemm_esc_arrays(
+                formats.to_device(A), formats.to_device(B), np.float64,
+                triangular=True,
+            )
+            C = sps.csr_matrix((data, idx, indptr), shape=(200, 200))
+            np_almost_equal(C, np.triu((A @ A.T).toarray()))
+        finally:
+            hops._SPGEMM_ROW_BLOCK = old_block
 
 
 class TestStructuralPattern(unittest.TestCase):
