@@ -89,6 +89,11 @@ class _Config:
         # and switches to (key, iota) sort + permutation gathers for
         # wide ones (f64 / planar complex); True/False pin it.
         self.spgemm_esc_perm_sort = "auto"
+        # Windowed-gather ESC expansion (packed f32 rows, two gathers
+        # instead of seven — measured 15x per-gather).  False pins the
+        # scalar-gather kernel (tests; also auto-selected for widths
+        # beyond f32's exact-integer range).
+        self.spgemm_esc_packed = True
         # Ozaki-scheme f64 matmul (exact bf16 slice products on the
         # MXU instead of XLA's ~0.4 TF/s f64 emulation): "auto" enables
         # it on accelerator backends for large matmuls, "1"/"always"

@@ -932,6 +932,119 @@ def spgemm_structural_sorted(a_flat, a_vals, b_flat, b_vals, m, k, n,
 
 @partial(
     jax.jit,
+    static_argnames=("m", "k", "n", "a_cm", "b_cm", "syrk", "precision",
+                     "use_ozaki", "triangular"),
+)
+def spgemm_structural_planar(a_flat, ar_vals, ai_vals, b_flat, br_vals,
+                             bi_vals, m, k, n, a_cm=False, b_cm=False,
+                             syrk=False, precision=None, use_ozaki=False,
+                             triangular=False):
+    """Planar-complex SpGEMM numeric + structural pattern + count in
+    ONE program: (Re, Im) = (Ar + iAi)(Br + iBi) with both operand
+    channels densified from the SAME flat index (the planar channels
+    share one sparsity pattern), Ozaki slice extractions shared across
+    the four pair products (f64), and the bf16 pattern matmul fused in.
+    Replaces the four separate real dispatches + host combine the
+    planar driver paid through round 2.
+
+    Returns (re_dense, im_dense, mask_flat, count).
+    """
+    a_dim = 0 if a_cm else 1
+    b_dim = 1 if b_cm else 0
+    a_shape = (k, m) if a_cm else (m, k)
+    b_shape = (n, k) if b_cm else (k, n)
+    if use_ozaki:
+        arh, arl = densify_sorted_hilo(a_flat, ar_vals, a_shape)
+        aih, ail = densify_sorted_hilo(a_flat, ai_vals, a_shape)
+        if syrk:
+            re, im = _ozaki.matmul_hilo_planar(
+                arh, arl, aih, ail, None, None, None, None,
+                a_contract=a_dim, syrk=True,
+            )
+        else:
+            brh, brl = densify_sorted_hilo(b_flat, br_vals, b_shape)
+            bih, bil = densify_sorted_hilo(b_flat, bi_vals, b_shape)
+            re, im = _ozaki.matmul_hilo_planar(
+                arh, arl, aih, ail, brh, brl, bih, bil,
+                a_contract=a_dim, b_contract=b_dim,
+            )
+    else:
+        prec = _prec(ar_vals.dtype, precision)
+        ar = densify_sorted(a_flat, ar_vals, a_shape)
+        ai = densify_sorted(a_flat, ai_vals, a_shape)
+        if syrk:
+            dims = (((a_dim,), (a_dim,)), ((), ()))
+            rr = lax.dot_general(ar, ar, dims, precision=prec)
+            ii = lax.dot_general(ai, ai, dims, precision=prec)
+            ri = lax.dot_general(ar, ai, dims, precision=prec)
+            re, im = rr - ii, ri + ri.T
+        else:
+            dims = (((a_dim,), (b_dim,)), ((), ()))
+            br = densify_sorted(b_flat, br_vals, b_shape)
+            bi = densify_sorted(b_flat, bi_vals, b_shape)
+            re = (lax.dot_general(ar, br, dims, precision=prec)
+                  - lax.dot_general(ai, bi, dims, precision=prec))
+            im = (lax.dot_general(ar, bi, dims, precision=prec)
+                  + lax.dot_general(ai, br, dims, precision=prec))
+    p = _pattern_matmul(a_flat, b_flat, m, k, n, a_cm, b_cm, syrk)
+    if triangular:
+        # Only the mask needs the triangle — unmasked values are never
+        # extracted.
+        p = jnp.triu(p)
+    mask_flat = (p > 0).reshape(-1)
+    count = jnp.sum(mask_flat.astype(jnp.int32))
+    return re, im, mask_flat, count
+
+
+def _pack_mask_bits(mask_flat, dtype):
+    """Pack a boolean mask 8-bits-per-float NUMERICALLY (values 0..255,
+    exact in f32/f64) so a (dense, mask) pair travels to the host as
+    ONE buffer read — each extra read over the dev tunnel costs a
+    ~25 ms round-trip.  Pure float arithmetic: integer shift/bitcast
+    packings mis-lower through the TPU X64 rewriter (the r3 bench
+    accuracy gate caught exactly that).  Host inverse:
+    :func:`unpack_mask_bits`."""
+    n = mask_flat.shape[0]
+    npad = -(-n // 8) * 8
+    padded = jnp.concatenate(
+        [mask_flat, jnp.zeros((npad - n,), jnp.bool_)]
+    )
+    weights = jnp.asarray([1.0, 2, 4, 8, 16, 32, 64, 128], dtype)
+    # Elementwise multiply + reduce (NOT a dot: keeps the arithmetic
+    # trivially exact on every lowering path).
+    return jnp.sum(padded.reshape(-1, 8).astype(dtype) * weights,
+                   axis=1)
+
+
+def unpack_mask_bits(packed_np, n):
+    """Host-side inverse of :func:`_pack_mask_bits` (numpy)."""
+    bytes_ = np.asarray(packed_np).astype(np.uint8)
+    return np.unpackbits(bytes_, bitorder="little")[:n].astype(bool)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m", "k", "n", "a_cm", "b_cm", "syrk", "precision",
+                     "use_ozaki", "triangular"),
+)
+def spgemm_structural_packed(a_flat, a_vals, b_flat, b_vals, m, k, n,
+                             a_cm=False, b_cm=False, syrk=False,
+                             precision=None, use_ozaki=False,
+                             triangular=False):
+    """Small-product fast path: numeric + pattern fused, returned as a
+    SINGLE flat buffer ``[dense_flat | packed mask bits]`` so the host
+    pays exactly one readback (one round-trip) for the whole product."""
+    c, mask_flat, _count = spgemm_structural_sorted(
+        a_flat, a_vals, b_flat, b_vals, m=m, k=k, n=n, a_cm=a_cm,
+        b_cm=b_cm, syrk=syrk, precision=precision, use_ozaki=use_ozaki,
+        triangular=triangular,
+    )
+    packed = _pack_mask_bits(mask_flat, c.dtype)
+    return jnp.concatenate([c.reshape(-1), packed])
+
+
+@partial(
+    jax.jit,
     static_argnames=("m", "k", "n", "a_cm", "b_cm", "syrk", "triangular"),
 )
 def pattern_mask_sorted(a_flat, b_flat, m, k, n, a_cm=False, b_cm=False,
@@ -1009,6 +1122,22 @@ def spmm_block_structural(rows, cols, vals, b_dense, b_ind, m):
         preferred_element_type=jnp.float32,
     )
     return c, p > 0
+
+
+@partial(jax.jit, static_argnames=("shape", "hilo"))
+def densify_with_indicator(rows, cols, vals, shape, hilo=False):
+    """One dispatch for the blocked-SpGEMM B prep: dense numeric
+    operand (hi/lo f32 pair when ``hilo``) + bf16 structural
+    indicator."""
+    dense = jnp.zeros(shape, dtype=vals.dtype).at[rows, cols].add(
+        vals, mode="drop"
+    )
+    ind = jnp.zeros(shape, jnp.bfloat16).at[rows, cols].set(
+        1.0, mode="drop"
+    )
+    if hilo:
+        return _ozaki.hilo(dense) + (ind,)
+    return (dense, ind)
 
 
 @partial(jax.jit, static_argnames=("shape",))
@@ -1156,6 +1285,164 @@ def count_nonzero(c_dense):
 # ---------------------------------------------------------------------------
 
 
+def _esc_sort_compress(key, chans, e_pad, mb, n, kdt, dup_passes,
+                       perm_sort):
+    """Shared back half of the ESC block: sort by key, exact
+    doubling-pass duplicate sums, head compaction.  Returns
+    (keys, vals..., count)."""
+    if perm_sort:
+        # Sort (key, iota32) and gather the value channels through the
+        # permutation — kept behind config: MEASURED SLOWER than
+        # co-sorting on this toolchain (random 1-wide gathers are the
+        # slowest primitive there is; see host._esc_perm_sort).
+        iota = jnp.arange(e_pad, dtype=jnp.int32)
+        skey, sidx = lax.sort((key, iota), dimension=0, num_keys=1)
+        svals = [c[sidx] for c in chans]
+    else:
+        sorted_ops = lax.sort((key,) + tuple(chans), dimension=0,
+                              num_keys=1)
+        skey, svals = sorted_ops[0], list(sorted_ops[1:])
+
+    svalid = skey < jnp.asarray(mb, kdt) * n
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), skey[1:] != skey[:-1]]
+    ) & svalid
+
+    # Exact in-segment suffix sums by doubling: after pass p, v[i] holds
+    # the sum of up to 2^(p+1) same-key elements starting at i.
+    for p in range(dup_passes):
+        sh = 1 << p
+        same = jnp.concatenate(
+            [skey[sh:] == skey[:-sh], jnp.zeros((sh,), jnp.bool_)]
+        )
+        for c in range(len(svals)):
+            shifted = jnp.concatenate(
+                [svals[c][sh:], jnp.zeros((sh,), svals[c].dtype)]
+            )
+            svals[c] = svals[c] + jnp.where(same, shifted, 0)
+
+    seg = prefix_sum(head) - 1  # segment id per element (heads define)
+    count = seg[-1] + 1
+
+    # Compaction by a second sort on the destination rank: heads carry
+    # their output position, everything else sinks to the tail (rank
+    # e_pad).  Slots past ``count`` are garbage; callers slice [:count].
+    # NOT a set-scatter: where(head, seg, e_pad) interleaves dropped
+    # slots between the sorted live destinations, so the
+    # indices_are_sorted/unique_indices hints would be lies — and
+    # XLA:TPU's hinted scatter returns wrong values on that lie at
+    # multi-M sizes (CPU ignores the hints, which is why the CPU suite
+    # never saw it).
+    rank = jnp.where(head, seg, e_pad)
+    if perm_sort:
+        iota = jnp.arange(e_pad, dtype=jnp.int32)
+        _, cidx = lax.sort((rank, iota), dimension=0, num_keys=1)
+        return (skey[cidx],) + tuple(v[cidx] for v in svals) + (
+            count.astype(jnp.int32),
+        )
+    compacted = lax.sort((rank, skey) + tuple(svals), dimension=0,
+                         num_keys=1)
+    return tuple(compacted[1:]) + (count.astype(jnp.int32),)
+
+
+@partial(jax.jit, static_argnames=("chan64",))
+def esc_pack_a(rows, bstart, offs, chans, chan64):
+    """Build the per-A-nonzero packed rows for the windowed-gather ESC
+    kernel: [local_row, bstart, offset, value channels] as f32 (hi/lo
+    pair per channel when ``chan64``)."""
+    cols_ = [rows.astype(jnp.float32), bstart.astype(jnp.float32),
+             offs.astype(jnp.float32)]
+    for c in chans:
+        if chan64:
+            h, l = _ozaki.hilo(c)
+            cols_ += [h, l]
+        else:
+            cols_ += [c.astype(jnp.float32)]
+    return jnp.stack(cols_, axis=1)
+
+
+@partial(jax.jit, static_argnames=("chan64",))
+def esc_pack_b(b_indices, b_chans, chan64):
+    """Per-B-nonzero packed rows: [column, value channels] as f32."""
+    cols_ = [b_indices.astype(jnp.float32)]
+    for i in range(b_chans.shape[0]):
+        c = b_chans[i]
+        if chan64:
+            h, l = _ozaki.hilo(c)
+            cols_ += [h, l]
+        else:
+            cols_ += [c.astype(jnp.float32)]
+    return jnp.stack(cols_, axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("e_pad", "mb", "n", "nchan", "chan64", "key64",
+                     "dup_passes", "triangular", "perm_sort"),
+)
+def esc_spgemm_block_packed(a_pack, offsets, e_total, b_pack,
+                            row_offset, e_pad, mb, n, nchan, chan64,
+                            key64, dup_passes, triangular=False,
+                            perm_sort=False):
+    """ESC block with WINDOWED expansion gathers.
+
+    The round-2/3 kernel issued seven 1-wide gathers per expansion slot
+    family (rows, cols, offsets, values by j; b_indptr, b_indices,
+    b_data by bpos) — measured at ~90 ms per 4M-element gather, 93% of
+    the block body.  A 4-wide windowed gather of the same indices runs
+    15x faster (one serialized pass per INDEX, not per element), so the
+    per-nonzero fields are packed into one f32 row per A-nonzero /
+    B-nonzero and the whole expansion becomes TWO gathers.
+
+    a_pack : (nnz_pad, 3 + nchan*cw) f32 — [local_row, bstart (B's
+        indptr at this nonzero's column), expansion offset, value
+        channels]; cw = 2 (hi/lo) when ``chan64`` else 1.  All integer
+        fields must be < 2^24 (exact in f32) — the driver gates on it.
+    b_pack : (b_nnz, 1 + nchan*cw) f32 — [column, value channels].
+
+    Returns (keys, vals..., count) like :func:`esc_spgemm_block`.
+    """
+    kdt = jnp.int64 if key64 else jnp.int32
+    nnz_pad = a_pack.shape[0]
+    t = jnp.arange(e_pad, dtype=offsets.dtype)
+    j = segment_ids_from_offsets(offsets, e_pad, nnz_pad - 1)
+    ga = a_pack[j]  # (e_pad, wa) — windowed gather #1
+    valid = t < e_total
+    pos = t.astype(jnp.int32) - ga[:, 2].astype(jnp.int32)
+    bpos = jnp.clip(
+        ga[:, 1].astype(jnp.int32) + pos, 0, b_pack.shape[0] - 1
+    )
+    gb = b_pack[bpos]  # (e_pad, wb) — windowed gather #2
+    row = ga[:, 0].astype(kdt)
+    col = gb[:, 0].astype(kdt)
+    if triangular:
+        valid = valid & (col >= row + row_offset)
+    row = jnp.where(valid, row, mb)
+    key = row * n + jnp.where(valid, col, 0)
+
+    cw = 2 if chan64 else 1
+
+    def chan(arr, base):
+        if chan64:
+            return (arr[:, base].astype(jnp.float64)
+                    + arr[:, base + 1].astype(jnp.float64))
+        return arr[:, base]
+
+    a_c = [chan(ga, 3 + c * cw) for c in range(nchan)]
+    b_c = [chan(gb, 1 + c * cw) for c in range(nchan)]
+    if nchan == 1:
+        chans = (jnp.where(valid, a_c[0] * b_c[0], 0),)
+    else:
+        ar, ai = a_c
+        br, bi = b_c
+        chans = (
+            jnp.where(valid, ar * br - ai * bi, 0),
+            jnp.where(valid, ar * bi + ai * br, 0),
+        )
+    return _esc_sort_compress(key, chans, e_pad, mb, n, kdt,
+                              dup_passes, perm_sort)
+
+
 @partial(
     jax.jit,
     static_argnames=("e_pad", "mb", "n", "nchan", "key64", "dup_passes",
@@ -1208,57 +1495,5 @@ def esc_spgemm_block(a_rows, a_cols, a_vals, offsets, e_total,
             jnp.where(valid, ar * bi + ai * br, 0),
         )
 
-    if perm_sort:
-        # Sort (key, iota32) and gather the value channels through the
-        # permutation: on TPU the X64 rewriter makes every f64 sort
-        # payload two extra i32 operands in the sort network, so for
-        # f64 / planar-complex values one i32 payload + one gather per
-        # channel moves fewer bytes through the O(n log^2 n) passes.
-        iota = jnp.arange(e_pad, dtype=jnp.int32)
-        skey, sidx = lax.sort((key, iota), dimension=0, num_keys=1)
-        svals = [c[sidx] for c in chans]
-    else:
-        sorted_ops = lax.sort((key,) + chans, dimension=0, num_keys=1)
-        skey, svals = sorted_ops[0], list(sorted_ops[1:])
-
-    svalid = skey < jnp.asarray(mb, kdt) * n
-    head = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), skey[1:] != skey[:-1]]
-    ) & svalid
-
-    # Exact in-segment suffix sums by doubling: after pass p, v[i] holds
-    # the sum of up to 2^(p+1) same-key elements starting at i.
-    for p in range(dup_passes):
-        sh = 1 << p
-        same = jnp.concatenate(
-            [skey[sh:] == skey[:-sh], jnp.zeros((sh,), jnp.bool_)]
-        )
-        for c in range(len(svals)):
-            shifted = jnp.concatenate(
-                [svals[c][sh:], jnp.zeros((sh,), svals[c].dtype)]
-            )
-            svals[c] = svals[c] + jnp.where(same, shifted, 0)
-
-    seg = prefix_sum(head) - 1  # segment id per element (heads define)
-    count = seg[-1] + 1
-
-    # Compaction by a second sort on the destination rank: heads carry
-    # their output position, everything else sinks to the tail (rank
-    # e_pad).  Slots past ``count`` are garbage; callers slice [:count].
-    # NOT a set-scatter: where(head, seg, e_pad) interleaves dropped
-    # slots between the sorted live destinations, so the
-    # indices_are_sorted/unique_indices hints would be lies — and
-    # XLA:TPU's hinted scatter returns wrong values on that lie at
-    # multi-M sizes (CPU ignores the hints, which is why the CPU suite
-    # never saw it).  Measured at 4M slots: sort 36 ms vs honest
-    # scatter-add 135 ms vs unhinted set-scatter 100 ms.
-    rank = jnp.where(head, seg, e_pad)
-    if perm_sort:
-        iota = jnp.arange(e_pad, dtype=jnp.int32)
-        _, cidx = lax.sort((rank, iota), dimension=0, num_keys=1)
-        return (skey[cidx],) + tuple(v[cidx] for v in svals) + (
-            count.astype(jnp.int32),
-        )
-    compacted = lax.sort((rank, skey) + tuple(svals), dimension=0,
-                         num_keys=1)
-    return tuple(compacted[1:]) + (count.astype(jnp.int32),)
+    return _esc_sort_compress(key, chans, e_pad, mb, n, kdt,
+                              dup_passes, perm_sort)

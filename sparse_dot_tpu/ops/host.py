@@ -514,12 +514,12 @@ def _blocked_spgemm_arrays(A, B, out_dtype, triangular):
     use_oz = _xla._ozaki.enabled(
         A.data.dtype, k, min(m, _SPGEMM_ROW_BLOCK) * k * n
     )
-    b_dense = _xla.densify(b_rows, b_cols, b_vals, (k, n))
-    if use_oz:
-        b_num = _hilo_jit(b_dense)
-    else:
-        b_num = (b_dense,)
-    b_ind = _xla.densify_indicator(b_rows, b_cols, (k, n))
+    # One dispatch for the whole B prep (numeric densify, hi/lo split
+    # for the Ozaki path, bf16 indicator).
+    *b_num, b_ind = _xla.densify_with_indicator(
+        b_rows, b_cols, b_vals, (k, n), hilo=use_oz
+    )
+    b_num = tuple(b_num)
 
     block = _SPGEMM_ROW_BLOCK
     nblocks = -(-m // block)
@@ -589,9 +589,6 @@ def _to_csr(container):
     return convert_container_to_csr(container)
 
 
-_hilo_jit = jax.jit(_xla._ozaki.hilo)
-
-
 # ---------------------------------------------------------------------------
 # ESC SpGEMM driver (true sparse output, bounded memory)
 # ---------------------------------------------------------------------------
@@ -615,15 +612,15 @@ def _value_channels(container, nchan):
 
 def _esc_perm_sort(real_dtype, nchan):
     """Sort (key, iota) + per-channel gathers instead of co-sorting
-    wide payloads: pays off when the payload is wider than one i32 (f64
-    values under the X64 rewriter, or two planar channels).  ``auto``
-    (default) applies exactly that rule; config pins it for benchs."""
+    wide payloads.  MEASURED SLOWER on the TPU (r3 batch1: 9.4 s vs
+    5.4 s co-sort on the headline block — random 4M-element gathers
+    run ~45 M elem/s, costlier than the extra sort-network operands),
+    so ``auto`` resolves to co-sort; the config hook remains for
+    pinning experiments on other toolchains."""
     mode = getattr(config, "spgemm_esc_perm_sort", "auto")
     if mode in (True, "always", "1"):
         return True
-    if mode in (False, "never", "0"):
-        return False
-    return nchan > 1 or np.dtype(real_dtype).itemsize == 8
+    return False
 
 
 def _pow2_bucket(x, lo=1 << 12):
@@ -678,15 +675,6 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
         np.float32 if np.dtype(out_dtype) == np.complex64 else np.float64
     )
 
-    # Host-side planning: expansion length of every A-nonzero.
-    a_indptr_np = np.asarray(A.indptr).astype(np.int64)
-    a_cols_np = np.asarray(A.indices).astype(np.int64)
-    b_indptr_np = np.asarray(B.indptr).astype(np.int64)
-    ext = b_indptr_np[a_cols_np + 1] - b_indptr_np[a_cols_np]
-    ext_cum = np.concatenate([[0], np.cumsum(ext)])
-    row_ext = ext_cum[a_indptr_np[1:]] - ext_cum[a_indptr_np[:-1]]
-    row_nnz = a_indptr_np[1:] - a_indptr_np[:-1]
-
     budget = int(getattr(config, "spgemm_esc_block_elements", 1 << 22))
     # Keys are local_row * n + col; int32 keys sort fastest, but when n
     # is so wide that int32 would cap blocks at a few thousand rows
@@ -697,6 +685,48 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
     else:
         row_cap, use_key64 = (1 << 22), True
 
+    # Host-side planning (expansion lengths, block boundaries, per-block
+    # column-sort permutations) depends only on the operand STRUCTURES
+    # and the budget — cached per structure-token pair (the 1M x 1M
+    # profile spent ~1.3 s/call re-planning in Python).
+    plan_key = (_structure_token(A), _structure_token(B), budget,
+                row_cap)
+    plan = _esc_plan_cache.get(plan_key)
+    if plan is None:
+        a_indptr_np = np.asarray(A.indptr).astype(np.int64)
+        a_cols_np = np.asarray(A.indices).astype(np.int64)
+        b_indptr_np = np.asarray(B.indptr).astype(np.int64)
+        bstart = b_indptr_np[a_cols_np]
+        ext = b_indptr_np[a_cols_np + 1] - bstart
+        ext_cum = np.concatenate([[0], np.cumsum(ext)])
+        row_ext_cum = ext_cum[a_indptr_np]  # (m+1,) cumulative per row
+        row_nnz = a_indptr_np[1:] - a_indptr_np[:-1]
+        # Vectorized block boundaries: one searchsorted per block (the
+        # per-row Python grow-loop cost 467 ms alone at 1M rows).
+        blocks = []
+        lo = 0
+        while lo < m:
+            target = row_ext_cum[lo] + budget
+            hi = int(np.searchsorted(row_ext_cum, target,
+                                     side="right")) - 1
+            hi = min(max(hi, lo + 1), m, lo + row_cap)
+            blocks.append((lo, hi))
+            lo = hi
+        perms = {}
+        for lo, hi in blocks:
+            plo, phi = int(a_indptr_np[lo]), int(a_indptr_np[hi])
+            if phi > plo:
+                perms[lo] = np.argsort(
+                    a_cols_np[plo:phi], kind="stable"
+                ).astype(np.int32)
+        plan = (a_indptr_np, a_cols_np, b_indptr_np, bstart, ext,
+                row_ext_cum, row_nnz, blocks, perms)
+        if len(_esc_plan_cache) > 4:
+            _esc_plan_cache.clear()
+        _esc_plan_cache[plan_key] = plan
+    (a_indptr_np, a_cols_np, b_indptr_np, bstart, ext, row_ext_cum,
+     row_nnz, blocks, perms) = plan
+
     rows_full = A.row_indices()
     a_chans = _value_channels(A, nchan)
     b_chans = jnp.stack(_value_channels(B, nchan))
@@ -704,6 +734,21 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
                                if B.indices.size < (1 << 31)
                                else b_indptr_np)
     b_indices_dev = B.indices
+
+    # Windowed-gather kernel (r3): per-nonzero fields packed into one
+    # f32 row so the expansion is TWO gathers instead of seven — a
+    # measured 15x per-gather win.  Integer fields must be f32-exact
+    # (< 2^24); wider workloads keep the scalar-gather kernel.
+    chan64 = np.dtype(real_dtype).itemsize == 8
+    packed_ok = (
+        getattr(config, "spgemm_esc_packed", True)
+        and n < (1 << 24)
+        and B.indices.size < (1 << 24)
+    )
+    b_pack = (
+        _xla.esc_pack_b(b_indices_dev, b_chans, chan64=chan64)
+        if packed_ok else None
+    )
 
     all_vals, all_cols = [], []
     counts = np.zeros(m, dtype=np.int64)
@@ -745,24 +790,13 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
             all_cols.append(cols_np)
         wave.clear()
 
-    lo = 0
-    while lo < m:
-        # Grow the block while the expansion stays under budget.
-        hi = lo + 1
-        e_blk = int(row_ext[lo])
-        while (
-            hi < m
-            and hi - lo < row_cap
-            and e_blk + int(row_ext[hi]) <= budget
-        ):
-            e_blk += int(row_ext[hi])
-            hi += 1
+    for lo, hi in blocks:
+        e_blk = int(row_ext_cum[hi] - row_ext_cum[lo])
         mb = hi - lo
         plo, phi = int(a_indptr_np[lo]), int(a_indptr_np[hi])
         nnz_blk = phi - plo
 
         if e_blk == 0 or nnz_blk == 0:
-            lo = hi
             continue
 
         mb_bucket = _pow2_bucket(mb, lo=256)
@@ -772,35 +806,28 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
         max_dup = int(row_nnz[lo:hi].max())
         dup_passes = max(0, int(np.ceil(np.log2(max(max_dup, 1)))))
 
-        # Column-sort the block's A-nonzeros (host argsort): the
-        # expansion then walks B's index/value arrays in ASCENDING
-        # address order (contiguous runs per B row, runs themselves
-        # sorted), so the 4M-element b_indices/b_data gathers — the
-        # block body's dominant HBM cost — hit quasi-sequentially
-        # instead of jumping rows per A-nonzero.  The kernel's sort is
-        # order-agnostic, so this is free correctness-wise.
-        perm_np = np.argsort(
-            a_cols_np[plo:phi], kind="stable"
-        ).astype(np.int32)
+        # Column-sorted A-nonzeros (cached host argsort): the expansion
+        # then walks B's index/value arrays in ASCENDING address order
+        # (contiguous runs per B row, runs themselves sorted), so the
+        # 4M-element b_indices/b_data gathers — the block body's
+        # dominant HBM cost — hit quasi-sequentially instead of jumping
+        # rows per A-nonzero.  The kernel's sort is order-agnostic, so
+        # this is free correctness-wise.
+        perm_np = perms[lo]
         perm = jnp.asarray(perm_np)
 
         # Device slices, permuted and padded to the bucket shapes.
         rows_blk = (rows_full[plo:phi].astype(jnp.int32) - lo)[perm]
-        cols_blk = A.indices[plo:phi].astype(jnp.int32)[perm]
         chans_blk = [c[plo:phi][perm] for c in a_chans]
         pad = nnz_pad - nnz_blk
         if pad:
             rows_blk = jnp.concatenate(
                 [rows_blk, jnp.full((pad,), mb_bucket, jnp.int32)]
             )
-            cols_blk = jnp.concatenate(
-                [cols_blk, jnp.zeros((pad,), jnp.int32)]
-            )
             chans_blk = [
                 jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
                 for c in chans_blk
             ]
-        a_vals_blk = jnp.stack(chans_blk)
 
         ext_blk = ext[plo:phi][perm_np]
         offsets = np.concatenate(
@@ -808,20 +835,47 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
              np.full(nnz_pad - nnz_blk, e_blk, np.int64)]
         ).astype(np.int32)
 
-        out = _xla.esc_spgemm_block(
-            rows_blk, cols_blk, a_vals_blk, jnp.asarray(offsets),
-            jnp.asarray(e_blk, jnp.int32),
-            b_indptr_dev, b_indices_dev, b_chans,
-            jnp.asarray(lo, jnp.int32),
-            e_pad=e_pad, mb=mb_bucket, n=n, nchan=nchan,
-            key64=key64, dup_passes=dup_passes, triangular=triangular,
-            perm_sort=_esc_perm_sort(real_dtype, nchan),
+        blk_packed = (
+            packed_ok and mb_bucket < (1 << 24) and e_pad < (1 << 24)
         )
+        if blk_packed:
+            bstart_blk = np.zeros(nnz_pad, np.int32)
+            bstart_blk[:nnz_blk] = bstart[plo:phi][perm_np]
+            a_pack = _xla.esc_pack_a(
+                rows_blk, jnp.asarray(bstart_blk),
+                jnp.asarray(offsets[:nnz_pad]), tuple(chans_blk),
+                chan64=chan64,
+            )
+            out = _xla.esc_spgemm_block_packed(
+                a_pack, jnp.asarray(offsets),
+                jnp.asarray(e_blk, jnp.int32), b_pack,
+                jnp.asarray(lo, jnp.int32),
+                e_pad=e_pad, mb=mb_bucket, n=n, nchan=nchan,
+                chan64=chan64, key64=key64, dup_passes=dup_passes,
+                triangular=triangular,
+                perm_sort=_esc_perm_sort(real_dtype, nchan),
+            )
+        else:
+            cols_blk = A.indices[plo:phi].astype(jnp.int32)[perm]
+            if pad:
+                cols_blk = jnp.concatenate(
+                    [cols_blk, jnp.zeros((pad,), jnp.int32)]
+                )
+            a_vals_blk = jnp.stack(chans_blk)
+            out = _xla.esc_spgemm_block(
+                rows_blk, cols_blk, a_vals_blk, jnp.asarray(offsets),
+                jnp.asarray(e_blk, jnp.int32),
+                b_indptr_dev, b_indices_dev, b_chans,
+                jnp.asarray(lo, jnp.int32),
+                e_pad=e_pad, mb=mb_bucket, n=n, nchan=nchan,
+                key64=key64, dup_passes=dup_passes,
+                triangular=triangular,
+                perm_sort=_esc_perm_sort(real_dtype, nchan),
+            )
         okey, ovals, count = out[0], out[1:-1], out[-1]
         wave.append((lo, hi, mb, e_pad, okey, ovals, count))
         if len(wave) >= _ESC_WAVE:
             _flush_wave()
-        lo = hi
     _flush_wave()
 
     if not all_vals:
@@ -846,6 +900,11 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
 # the container instance) — NOT id()s, whose values recycle after GC and
 # could silently alias a new matrix to an old entry.
 _spgemm_nnz_cache = {}
+
+# ESC host-planning cache (see spgemm_esc_arrays): keyed by structure
+# tokens + budget, holds the numpy planning arrays and per-block
+# column-sort permutations.
+_esc_plan_cache = {}
 
 _struct_token_counter = __import__("itertools").count()
 
@@ -943,23 +1002,62 @@ def _spgemm_routed(A, B, out_dtype, triangular):
         return spgemm_esc_arrays(A, B, out_dtype, triangular=triangular)
 
     if is_complex:
-        # Planar complex: the pattern program is shared by the four
-        # real numeric passes.
-        mask, _ = _structural_mask_count(A, B, triangular)
-        dense = spgemm_dense(A, B, out_dtype)
-        mask_np = np.asarray(mask).reshape(m, n)
-        return _host_extract(np.asarray(dense), out_dtype,
-                             triangular=False, mask=mask_np)
-
-    if small:
-        # Real small products: ONE dispatch for numeric + pattern,
-        # then a single dense+mask transfer and numpy compaction.
-        dense_dev, mask_flat, _ = _spgemm_structural_real(
-            A, A.data, B, B.data, triangular=triangular
+        # ONE fused program: planar numeric (channels share the flat
+        # index; Ozaki slice extractions shared across the four pair
+        # products) + bf16 pattern + count.  Replaces the round-2
+        # four-dispatch planar detour.
+        ar, ai = _value_channels(A, 2)
+        a_flat, ar_s, a_cm = A.sorted_flat_parts(ar)
+        _, ai_s, _ = A.sorted_flat_parts(ai)
+        use_oz = _xla._ozaki.enabled(ar_s.dtype, k, m * k * n)
+        if _is_syrk_pair_pattern(A, B):
+            re, im, mask_flat, _ = _xla.spgemm_structural_planar(
+                a_flat, ar_s, ai_s, None, None, None, m=m, k=k, n=n,
+                a_cm=a_cm, syrk=True, use_ozaki=use_oz,
+                triangular=triangular,
+            )
+        else:
+            br, bi = _value_channels(B, 2)
+            b_flat, br_s, b_cm = B.sorted_flat_parts(br)
+            _, bi_s, _ = B.sorted_flat_parts(bi)
+            re, im, mask_flat, _ = _xla.spgemm_structural_planar(
+                a_flat, ar_s, ai_s, b_flat, br_s, bi_s, m=m, k=k,
+                n=n, a_cm=a_cm, b_cm=b_cm, use_ozaki=use_oz,
+                triangular=triangular,
+            )
+        dense = (np.asarray(re) + 1j * np.asarray(im)).astype(
+            out_dtype, copy=False
         )
         mask_np = np.asarray(mask_flat).reshape(m, n)
-        return _host_extract(np.asarray(dense_dev), out_dtype,
-                             triangular=False, mask=mask_np)
+        return _host_extract(dense, out_dtype, triangular=False,
+                             mask=mask_np)
+
+    if small:
+        # Real small products: ONE dispatch for numeric + pattern and
+        # ONE readback (dense | packed mask bits in a single buffer —
+        # each extra read costs a tunnel round-trip), then numpy
+        # compaction.
+        use_oz = _xla._ozaki.enabled(A.data.dtype, k, m * k * n)
+        a_flat, a_vals, a_cm = A.sorted_flat_parts(A.data)
+        if _is_syrk_pair(A, B, A.data, B.data):
+            buf = _xla.spgemm_structural_packed(
+                a_flat, a_vals, None, None, m=m, k=k, n=n, a_cm=a_cm,
+                syrk=True, use_ozaki=use_oz, triangular=triangular,
+            )
+        else:
+            b_flat, b_vals, b_cm = B.sorted_flat_parts(B.data)
+            buf = _xla.spgemm_structural_packed(
+                a_flat, a_vals, b_flat, b_vals, m=m, k=k, n=n,
+                a_cm=a_cm, b_cm=b_cm, use_ozaki=use_oz,
+                triangular=triangular,
+            )
+        buf_np = np.asarray(buf)
+        dense_np = buf_np[: m * n].reshape(m, n)
+        mask_np = _xla.unpack_mask_bits(buf_np[m * n:], m * n).reshape(
+            m, n
+        )
+        return _host_extract(dense_np, out_dtype, triangular=False,
+                             mask=mask_np)
 
     dev = spgemm_device(A, B, out_dtype=out_dtype, triangular=triangular)
     return (

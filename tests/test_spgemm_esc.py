@@ -78,6 +78,23 @@ class TestESCKernel(unittest.TestCase):
         C = self._run(self.A.tocsc(), self.B.tocsc(), np.float64)
         np_almost_equal(C, self.A @ self.B)
 
+    def test_packed_and_scalar_kernels_agree(self):
+        # The windowed-gather (packed) kernel and the scalar-gather
+        # fallback must produce the identical structural product.
+        C_packed = self._run(self.A, self.B, np.float64)
+        config.spgemm_esc_packed = False
+        try:
+            C_scalar = self._run(self.A, self.B, np.float64)
+        finally:
+            config.spgemm_esc_packed = True
+        self.assertEqual(C_packed.nnz, C_scalar.nnz)
+        npt.assert_array_equal(C_packed.indices, C_scalar.indices)
+        # The packed kernel carries f64 values as hi/lo f32 pairs
+        # (~2^-48 relative, the same transport the Ozaki paths use);
+        # structure is identical, values agree to that bound.
+        npt.assert_allclose(C_packed.data, C_scalar.data, rtol=5e-15,
+                            atol=1e-15)
+
     def test_sort_strategies_agree(self):
         # auto picks perm-sort for f64; pinning co-sort must give the
         # identical structural product.
@@ -191,6 +208,25 @@ class TestESCAdaptiveRouting(unittest.TestCase):
             np_almost_equal(C, np.triu((A @ A.T).toarray()))
         finally:
             hops._SPGEMM_ROW_BLOCK = old_block
+
+
+class TestMaskPacking(unittest.TestCase):
+    """The single-readback small path's numeric mask packing."""
+
+    def test_roundtrip(self):
+        import jax.numpy as jnp
+        from sparse_dot_tpu.ops import _xla
+
+        rng = np.random.default_rng(5)
+        for n in (1, 7, 8, 9, 255, 4096, 10_001):
+            for dtype in (np.float32, np.float64):
+                mask = rng.random(n) < 0.3
+                packed = np.asarray(
+                    _xla._pack_mask_bits(jnp.asarray(mask), dtype)
+                )
+                self.assertEqual(packed.dtype, np.dtype(dtype))
+                out = _xla.unpack_mask_bits(packed, n)
+                npt.assert_array_equal(out, mask)
 
 
 class TestStructuralPattern(unittest.TestCase):
