@@ -191,6 +191,28 @@ class TestESCAdaptiveRouting(unittest.TestCase):
         )
         np_almost_equal(C, Ac @ Bc)
 
+    def test_blocked_mxu_body_with_ozaki(self):
+        # The row-blocked MXU body's Ozaki branch (hi/lo block densify
+        # + matmul_hilo) — forced on, since the CPU auto-gate would
+        # pick the plain dot.
+        old_block = hops._SPGEMM_ROW_BLOCK
+        hops._SPGEMM_ROW_BLOCK = 64
+        config.ozaki = "always"
+        try:
+            A = sps.random(200, 120, density=0.08, format="csr",
+                           dtype=np.float64, random_state=17)
+            B = sps.random(120, 90, density=0.08, format="csr",
+                           dtype=np.float64, random_state=18)
+            data, idx, indptr = hops._blocked_spgemm_arrays(
+                formats.to_device(A), formats.to_device(B),
+                np.float64, triangular=False,
+            )
+            C = sps.csr_matrix((data, idx, indptr), shape=(200, 90))
+            np_almost_equal(C, A @ B)
+        finally:
+            hops._SPGEMM_ROW_BLOCK = old_block
+            config.ozaki = "auto"
+
     def test_blocked_triangular_offset(self):
         # Several blocks with a global triangle: the in-kernel mask must
         # use the block's global row offset.
