@@ -64,11 +64,6 @@ class _Config:
         # wins at low density; disable to force the densify/scatter
         # paths.
         self.ell_spmm_enabled = True
-        # Hand-written Pallas ELL SpMM with B resident in VMEM (lane
-        # dynamic-gather).  Off until the hardware measurement of the
-        # round-3 kernel lands; the XLA binned-gather path is the
-        # default either way.
-        self.pallas_ell_enabled = False
         # Expansion budget (scalar products per row block) of the ESC
         # sparse-output SpGEMM — bounds its device memory high-water
         # mark (~40 bytes/slot transient).

@@ -161,26 +161,6 @@ def _real_spmm(A, a_data, b_dev, transpose):
     nnz = int(a_data.reshape(-1).shape[0])
 
     if _prefer_ell(A, a_data, m, k, n, nnz, transpose):
-        if _use_pallas_ell(A, a_data, m, k, n):
-            from . import pallas_ell
-
-            ell = A.ell_parts(data=a_data)
-            if ell is not None:
-                try:
-                    return pallas_ell.ell_spmm_pallas(
-                        ell[0], ell[1], b_dev, m=m
-                    )
-                except (jax.errors.JaxRuntimeError,
-                        NotImplementedError) as e:
-                    import warnings
-
-                    warnings.warn(
-                        "sparse_dot_tpu: Pallas ELL kernel failed to "
-                        "compile; falling back to the XLA gather path "
-                        f"for this process ({type(e).__name__}: {e})",
-                        RuntimeWarning,
-                    )
-                    config.pallas_ell_enabled = False
         if getattr(config, "ell_binned", True):
             binned = A.ell_parts_binned(data=a_data)
             if binned is not None:
@@ -250,22 +230,6 @@ def _ell_chunks(ell_shape, n, dtype, budget=1 << 31):
     while bytes_total // nchunks > budget and nchunks < 256:
         nchunks *= 2
     return nchunks
-
-
-def _use_pallas_ell(A, a_data, m, k, n):
-    """Gate the Pallas resident-B ELL kernel: TPU platform, real f32 /
-    f64 CSR, B^T + accumulator within the VMEM budget.  Off by default
-    (``config.pallas_ell_enabled``) until the hardware measurement
-    flips it — the XLA binned-gather path is the fallback either way."""
-    from ..backend import default_platform
-
-    if not getattr(config, "pallas_ell_enabled", False):
-        return False
-    if default_platform() == "cpu":
-        return False
-    from . import pallas_ell
-
-    return pallas_ell.ell_pallas_available(a_data.dtype, m, k, n)
 
 
 def _use_pallas_bsr(A, b_dev):

@@ -171,43 +171,6 @@ def test_structural_matches_scipy_on_hardware():
     npt.assert_allclose(C.data, oracle.data, atol=1e-10)
 
 
-def test_pallas_ell_kernel_on_hardware():
-    """The resident-B Pallas ELL SpMM compiles and matches the oracle
-    on real hardware — including the df64 (double-float32) arithmetic
-    whose exactness the interpreter cannot validate (see
-    ``ops/pallas_ell.py`` interpret-mode caveat)."""
-    from sparse_dot_tpu.ops import pallas_ell
-
-    m = k = 2048
-    n = 128
-    A = sps.random(m, k, density=0.01, format="csr", dtype=np.float64,
-                   random_state=31)
-    b = np.random.default_rng(32).standard_normal((k, n))
-    Ad = formats.to_device(A)
-    ell = Ad.ell_parts()
-    assert ell is not None
-    oracle = A @ b
-
-    try:
-        out32 = np.asarray(pallas_ell.ell_spmm_pallas(
-            ell[0], ell[1].astype(jnp.float32),
-            jnp.asarray(b.astype(np.float32)), m=m))
-    except Exception as e:  # noqa: BLE001 — toolchain gather limits
-        # This toolchain's Mosaic lowers dynamic_gather only for
-        # single-vreg lane tables ("Multiple source vregs along gather
-        # dimension") — documented in BENCH.md; the kernel stays gated
-        # off (config.pallas_ell_enabled) and correct under interpret.
-        pytest.skip(f"Mosaic cannot lower the resident-B gather here: "
-                    f"{type(e).__name__}: {str(e).splitlines()[0][:120]}")
-    rel32 = np.abs(out32 - oracle).max() / np.abs(oracle).max()
-    assert rel32 < 1e-5
-
-    out64 = np.asarray(pallas_ell.ell_spmm_pallas(
-        ell[0], ell[1], jnp.asarray(b), m=m))
-    rel64 = np.abs(out64 - oracle).max() / np.abs(oracle).max()
-    assert rel64 < 1e-12  # df64 grade, far beyond f32
-
-
 def test_fgmres_on_hardware():
     """First-party FGMRES device loop converges on the real backend."""
     from sparse_dot_tpu.solvers import fgmres
