@@ -527,11 +527,12 @@ def main():
     )
     # Decomposition (VERDICT r2 weak #8): the e2e number is transfer-
     # dominated on the tunnel (2 x 2MB host copies at ~50 MB/s + RTT);
-    # this is the device-side accumulate alone.
+    # this is the device-side FUSED accumulate (round 4: alpha/beta/c0
+    # ride inside the kernel program — one dispatch, one readback).
     out_dev = jnp.asarray(out_acc)
     bsr_acc_dev_ms = _pipelined(
-        lambda: hops._real_spmm(Abd, Abd.data, bf32, False)
-        + 0.5 * out_dev,
+        lambda: hops._real_spmm(Abd, Abd.data, bf32, False,
+                                beta=0.5, c0=out_dev),
         s_arr, reps=5,
     )
 

@@ -18,7 +18,7 @@ import os
 
 import numpy as np
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 # ---------------------------------------------------------------------------
 # Index width policy (the LP64 / ILP64 analog)
@@ -68,11 +68,13 @@ class _Config:
         # sparse-output SpGEMM — bounds its device memory high-water
         # mark (~40 bytes/slot transient).
         self.spgemm_esc_block_elements = 1 << 22
-        # Force the ESC kernel for every sparse-output SpGEMM (test
-        # hook).  Since round 3 every DEFAULT path is already
-        # structurally exact (the fused bf16 pattern matmul keeps
-        # cancelled entries as explicit zeros, like MKL/scipy); this
-        # flag only pins the kernel choice.
+        # Route every sparse-output SpGEMM through the any-size ESC
+        # driver (test hook).  Since round 3 every DEFAULT path is
+        # already structurally exact (the fused bf16 pattern matmul
+        # keeps cancelled entries as explicit zeros, like MKL/scipy),
+        # and the ESC driver itself adaptively routes dense-fitting
+        # workloads back to the shared ladder — so to pin the actual
+        # expand-sort-compress KERNEL, set spgemm_esc_force_sort too.
         self.spgemm_exact_pattern = False
         # Pin the expand-sort-compress kernel inside the any-size
         # sparse-output driver (tests / benchmarking the truly-sparse
@@ -87,7 +89,12 @@ class _Config:
         # Windowed-gather ESC expansion (packed f32 rows, two gathers
         # instead of seven — measured 15x per-gather).  False pins the
         # scalar-gather kernel (tests; also auto-selected for widths
-        # beyond f32's exact-integer range).
+        # beyond f32's exact-integer range).  NOTE: the packed kernel
+        # transports f64 values as hi/lo f32 pairs; each PRODUCT
+        # re-rounds at ~2^-48 relative (~4 low mantissa bits) versus
+        # the exact-f64 scalar-gather kernel.  That is far inside the
+        # library's decimal=6 contract; set False for bit-exact f64
+        # sparse-sparse products.
         self.spgemm_esc_packed = True
         # Ozaki-scheme f64 matmul (exact bf16 slice products on the
         # MXU instead of XLA's ~0.4 TF/s f64 emulation): "auto" enables

@@ -346,10 +346,26 @@ def spgemm_numeric_sorted(a_flat, a_vals, b_flat, b_vals, m, k, n,
     return c
 
 
+@jax.jit
+def axpby(c, alpha=None, beta=None, c0=None):
+    """Device-side accumulate epilogue: ``alpha*c + beta*c0``.
+
+    Used by kernels without native alpha/beta plumbing so the
+    ``out``/``out_scalar`` contract (C := alpha*A*B + beta*C,
+    ``/root/reference/sparse_dot_mkl/_sparse_dense.py:111-123``) is
+    applied on device instead of a numpy post-pass with a second
+    host<->device round trip."""
+    if alpha is not None:
+        c = c * jnp.asarray(alpha, c.dtype)
+    if c0 is not None:
+        c = c + jnp.asarray(beta, c.dtype) * c0
+    return c
+
+
 @partial(jax.jit,
          static_argnames=("m", "k", "a_cm", "precision", "use_ozaki"))
 def spmm_densified_sorted(flat, vals, b, m, k, a_cm=False, precision=None,
-                          use_ozaki=False):
+                          use_ozaki=False, alpha=None, beta=None, c0=None):
     """SpMM fast path: sorted-flat densify (hi/lo split for f64) + MXU
     matmul; ``a_cm`` densifies the transpose and contracts dim 0.
     ``use_ozaki`` runs the f64 matmul as exact bf16 slice products."""
@@ -359,14 +375,16 @@ def spmm_densified_sorted(flat, vals, b, m, k, a_cm=False, precision=None,
             flat, vals, (k, m) if a_cm else (m, k)
         )
         b_hi, b_lo = _ozaki.hilo(b)
-        return _ozaki.matmul_hilo(
+        c = _ozaki.matmul_hilo(
             a_hi, a_lo, b_hi, b_lo, a_contract=a_dim, b_contract=0
         )
-    a_dense = densify_sorted(flat, vals, (k, m) if a_cm else (m, k))
-    return lax.dot_general(
-        a_dense, b, (((a_dim,), (0,)), ((), ())),
-        precision=_prec(vals.dtype, precision),
-    )
+    else:
+        a_dense = densify_sorted(flat, vals, (k, m) if a_cm else (m, k))
+        c = lax.dot_general(
+            a_dense, b, (((a_dim,), (0,)), ((), ())),
+            precision=_prec(vals.dtype, precision),
+        )
+    return axpby(c, alpha, beta, c0)
 
 
 @partial(jax.jit, static_argnames=("m", "precision"))
@@ -741,7 +759,8 @@ def ell_spmv(cols_ell, vals_ell, x, nchunks=1, alpha=None, beta=None,
 
 
 @partial(jax.jit, static_argnames=("m", "precision"))
-def bsr_spmm(block_data, block_rows, block_cols, b, m, precision=None):
+def bsr_spmm(block_data, block_rows, block_cols, b, m, precision=None,
+             alpha=None, beta=None, c0=None):
     """C = A @ b for BSR A.
 
     block_data : (nb, R, C); block_rows/block_cols: (nb,) block coords.
@@ -761,7 +780,7 @@ def bsr_spmm(block_data, block_rows, block_cols, b, m, precision=None):
     c_blocked = jnp.zeros((m // R, R, n), dtype=prods.dtype).at[
         block_rows
     ].add(prods, mode="drop")
-    return c_blocked.reshape(m, n)
+    return axpby(c_blocked.reshape(m, n), alpha, beta, c0)
 
 
 # ---------------------------------------------------------------------------

@@ -54,14 +54,17 @@ def _kernel(rowmap_ref, colidx_ref, a_ref, b_ref, o_ref):
 @functools.partial(
     jax.jit, static_argnames=("m", "bs", "interpret")
 )
-def bsr_spmm_pallas(rowmap, colidx, data, b, m, bs, interpret=False):
-    """C = A @ b for BSR A with f32 data.
+def bsr_spmm_pallas(rowmap, colidx, data, b, m, bs, interpret=False,
+                    alpha=None, beta=None, c0=None):
+    """C = alpha * A @ b + beta * c0 for BSR A with f32 data.
 
     rowmap : (nblocks,) int32 — block-row id of each stored block,
              sorted ascending (CSR block order).
     colidx : (nblocks,) int32 — block-column ids.
     data   : (nblocks, bs, bs) float32.
     b      : (k, n) float32 with n % 128 == 0.
+    alpha/beta/c0 : optional accumulate epilogue, fused into the same
+    XLA program as the Pallas call (one dispatch, no host round trip).
     """
     nblocks = data.shape[0]
     k, n = b.shape
@@ -111,7 +114,12 @@ def bsr_spmm_pallas(rowmap, colidx, data, b, m, bs, interpret=False):
     )
     # where (not *): unvisited tiles hold uninitialized data, possibly
     # NaN, and NaN * 0 stays NaN.
-    return jnp.where(jnp.repeat(visited, bs)[:, None], out, 0.0)
+    c = jnp.where(jnp.repeat(visited, bs)[:, None], out, 0.0)
+    if alpha is not None:
+        c = c * jnp.asarray(alpha, c.dtype)
+    if c0 is not None:
+        c = c + jnp.asarray(beta, c.dtype) * c0
+    return c
 
 
 def bsr_spmm_available(A, b_shape, dtype):

