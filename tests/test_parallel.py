@@ -171,6 +171,49 @@ class TestRingSpMM(unittest.TestCase):
         C = sharded_spmm_ring(self.mesh, A_grid, self.B[:299])
         np_almost_equal(np.asarray(C), A.toarray() @ self.B[:299])
 
+    def test_ring_double_buffered_schedule(self):
+        """Structural proof of the double-buffered ring (round 4,
+        SURVEY §7:497-499): in the OPTIMIZED HLO each step's
+        collective-permute is issued BEFORE the scatter-add that
+        consumes the current shard (so the transfer can overlap the
+        compute on real ICI), and the final wasted rotation is gone —
+        exactly S-1 permutes for S ring steps.  Wall-clock overlap
+        needs real multi-chip hardware; this pins the schedule shape."""
+        from sparse_dot_tpu.parallel import shard_csr_grid
+        from sparse_dot_tpu.parallel.ops import sharded_spmm_ring
+
+        A_grid = shard_csr_grid(self.A, self.n_dev, self.mesh)
+        lowered = sharded_spmm_ring(
+            self.mesh, A_grid, self.B, _inspect=True
+        )
+        txt = lowered.compile().as_text()
+        # Scan only the computation that holds the ring schedule (the
+        # full text also contains the called fusion computation
+        # DEFINITIONS, whose order is meaningless).
+        lines = txt.splitlines()
+        perm_line = next(
+            i for i, ln in enumerate(lines) if "collective-permute" in ln
+        )
+        start = max(
+            i for i in range(perm_line + 1) if lines[i].rstrip().endswith("{")
+        )
+        end = next(
+            i for i in range(perm_line, len(lines))
+            if lines[i].startswith("}")
+        )
+        body = "\n".join(lines[start:end])
+        n_perm = body.count("collective-permute")
+        # async start/done pairs (TPU) count once per op
+        n_perm -= body.count("collective-permute-done")
+        self.assertEqual(n_perm, self.n_dev - 1)
+        first_perm = body.find("collective-permute")
+        first_scatter = body.find("scatter")
+        self.assertGreater(first_scatter, 0)
+        self.assertLess(
+            first_perm, first_scatter,
+            "permute must be issued before the consuming scatter-add",
+        )
+
     def test_dot_product_routes_sharded(self):
         """The public dot_product dispatches ShardedCSR operands to the
         mesh kernels automatically."""
