@@ -768,18 +768,29 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
         if not wave:
             return
         wave_counts = np.asarray(jnp.stack([w[-1] for w in wave]))
-        for (blo, bhi, bmb, be_pad, ocols, ovals, ocnts, _), cnt in zip(
+        for (blo, bhi, bmb, be_pad, bkey64, obuf, ovals, _), cnt in zip(
             wave, wave_counts
         ):
             cnt = int(cnt)
             if not cnt:
                 continue
-            # int32 columns + the (mb,) device-side row histogram —
-            # half the key bytes of the round-3 readback, and no host
-            # divide/bincount pass (VERDICT r3 item 6).
+            # ONE i32 read either way (VERDICT r3 item 6; layout doc at
+            # _xla._esc_sort_compress):
+            # * key32 blocks: raw i32 keys — host splits rows/cols and
+            #   bincounts over the live entries (half the r3 key bytes).
+            # * key64 blocks: [per-row histogram (mb) | columns].
             take = min(be_pad, _pow2_bucket(cnt, lo=1 << 14))
-            cols_np = np.asarray(ocols[:take])[:cnt]
-            counts[blo:bhi] = np.asarray(ocnts)[: bhi - blo]
+            if bkey64:
+                buf_np = np.asarray(obuf[: bmb + take])
+                cols_np = buf_np[bmb: bmb + cnt]
+                counts[blo:bhi] = buf_np[: bhi - blo]
+            else:
+                keys_np = np.asarray(obuf[:take])[:cnt].astype(np.int64)
+                rows_np = keys_np // n
+                cols_np = keys_np - rows_np * n
+                counts[blo:bhi] = np.bincount(
+                    rows_np, minlength=bmb
+                )[: bhi - blo]
             if nchan == 1:
                 vals_np = np.asarray(ovals[0][:take])[:cnt]
             else:
@@ -873,8 +884,8 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
                 triangular=triangular,
                 perm_sort=_esc_perm_sort(real_dtype, nchan),
             )
-        ocols, ovals, ocnts, count = out[0], out[1:-2], out[-2], out[-1]
-        wave.append((lo, hi, mb_bucket, e_pad, ocols, ovals, ocnts,
+        obuf, ovals, count = out[0], out[1:-1], out[-1]
+        wave.append((lo, hi, mb_bucket, e_pad, key64, obuf, ovals,
                      count))
         if len(wave) >= _ESC_WAVE:
             _flush_wave()

@@ -452,70 +452,65 @@ def sharded_spmm_ring(mesh, A_grid, b, axis="rows", _inspect=False):
         b_cur = b_block.reshape(k_local, two_n)
         perm = [(i, (i - 1) % S) for i in range(S)]
 
-        # Double-buffered schedule (round 4, SURVEY §7:497-499): the
-        # loop over ring steps is UNROLLED (S is static) and each
+        # Double-buffered schedule (round 4, SURVEY §7:497-499): each
         # step's ppermute of the b shard is issued BEFORE the compute
-        # that consumes the current shard.  Inside a fori_loop body the
-        # permute issued at the END of step t and the compute of step
-        # t+1 sit on opposite sides of a loop barrier — XLA cannot
-        # overlap across it.  Unrolled and permute-first, the
-        # collective-permute-start precedes the gather/scatter work in
-        # the flat graph and the transfer rides ICI under the compute
-        # (structural proof: tests/test_parallel.py asserts compute ops
-        # between collective-permute-start/-done in the optimized HLO;
-        # wall-clock proof needs real multi-chip ICI).  The final
-        # rotation (whose result nobody reads) is skipped.
+        # that consumes the current shard — both depend only on b_cur,
+        # so the transfer can ride ICI UNDER the gather/scatter work of
+        # the same step (which is exactly the overlap the double-buffer
+        # needs; cross-iteration overlap through the fori_loop barrier
+        # is not required).  The final rotation, whose result nobody
+        # reads, is peeled off as a compute-only tail step — S-1
+        # permutes for S steps.  (A fully unrolled variant measured
+        # 2.4x SLOWER on the virtual CPU mesh — per-op thunk overhead
+        # without any ICI to overlap — and was reverted; structural
+        # proof of the schedule lives in tests/test_parallel.py.)
 
-        if not (planar_a or complex_b):
-            c_acc = jnp.zeros((m_local + 1, two_n), vals.dtype)
-            for t in range(S):
-                b_next = (
-                    jax.lax.ppermute(b_cur, axis, perm)
-                    if t + 1 < S else None
-                )
-                blk = (s + t) % S
-                r = jax.lax.dynamic_index_in_dim(rows, blk,
-                                                 keepdims=False)
-                c = jax.lax.dynamic_index_in_dim(cols, blk,
-                                                 keepdims=False)
-                v = jax.lax.dynamic_index_in_dim(vals, blk,
-                                                 keepdims=False)
-                gathered = v[:, None] * b_cur[c, :]
-                c_acc = c_acc.at[r].add(gathered, mode="drop")
-                # Rotate so the NEXT shard this device holds is block
-                # (s + t + 1): b shards flow "down" the ring.
-                if b_next is not None:
-                    b_cur = b_next
-            return c_acc[None, :m_local]
-
-        real_dt = vals.dtype
-        cr_acc = jnp.zeros((m_local + 1, n), real_dt)
-        ci_acc = jnp.zeros((m_local + 1, n), real_dt)
-        for t in range(S):
-            b_next = (
-                jax.lax.ppermute(b_cur, axis, perm)
-                if t + 1 < S else None
-            )
+        def _compute(t, b_now, accs):
             blk = (s + t) % S
             r = jax.lax.dynamic_index_in_dim(rows, blk, keepdims=False)
             c = jax.lax.dynamic_index_in_dim(cols, blk, keepdims=False)
             v = jax.lax.dynamic_index_in_dim(vals, blk, keepdims=False)
+            if not (planar_a or complex_b):
+                (c_acc,) = accs
+                gathered = v[:, None] * b_now[c, :]
+                return (c_acc.at[r].add(gathered, mode="drop"),)
+            cr_acc, ci_acc = accs
             if planar_a:
                 ar, ai = v[0], v[1]
             else:
                 ar, ai = v, None
-            g = b_cur[c, :]
+            g = b_now[c, :]
             gr, gi = g[:, :n], g[:, n:]
             rr = ar[:, None] * gr
             ri = ar[:, None] * gi
             if ai is not None:
                 rr = rr - ai[:, None] * gi
                 ri = ri + ai[:, None] * gr
-            cr_acc = cr_acc.at[r].add(rr, mode="drop")
-            ci_acc = ci_acc.at[r].add(ri, mode="drop")
-            if b_next is not None:
-                b_cur = b_next
-        return cr_acc[None, :m_local], ci_acc[None, :m_local]
+            return (
+                cr_acc.at[r].add(rr, mode="drop"),
+                ci_acc.at[r].add(ri, mode="drop"),
+            )
+
+        if not (planar_a or complex_b):
+            accs0 = (jnp.zeros((m_local + 1, two_n), vals.dtype),)
+        else:
+            z = jnp.zeros((m_local + 1, n), vals.dtype)
+            accs0 = (z, z)
+
+        def step(t, carry):
+            accs, b_now = carry
+            # Issue the rotation FIRST: b shards flow "down" the ring
+            # (next held block is (s + t + 1)) while this step's
+            # compute consumes b_now.
+            b_next = jax.lax.ppermute(b_now, axis, perm)
+            return (_compute(t, b_now, accs), b_next)
+
+        accs, b_last = jax.lax.fori_loop(0, S - 1, step, (accs0, b_cur))
+        accs = _compute(S - 1, b_last, accs)  # peeled: no rotation
+
+        if not (planar_a or complex_b):
+            return accs[0][None, :m_local]
+        return accs[0][None, :m_local], accs[1][None, :m_local]
 
     # b starts with shard s holding block s (the t=0 operand).
     b_sharded = b.reshape(S, k_local, two_n)

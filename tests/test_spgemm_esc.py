@@ -375,6 +375,28 @@ class TestHugeRouting(unittest.TestCase):
             hops._BLOCKED_SPGEMM_BYTES = old_blocked
             hops._HOST_EXTRACT_BYTES = old_host
 
+    def test_key64_blocks_device_counts_layout(self):
+        # n > 32768 forces int64 keys (row_cap would drop below 2^16),
+        # which selects the [row-histogram | cols] device readback
+        # layout; narrow-n blocks ship raw i32 keys.  Both must agree
+        # with scipy through the public API.
+        config.spgemm_esc_force_sort = True
+        try:
+            A = sps.random(150, 300, density=0.05, format="csr",
+                           dtype=np.float64, random_state=21)
+            B = sps.random(300, 40_000, density=0.003, format="csr",
+                           dtype=np.float64, random_state=22)
+            C = dot_product(A, B)
+            oracle = A @ B
+            oracle.sort_indices()
+            self.assertEqual(C.nnz, oracle.nnz)
+            npt.assert_array_equal(C.indptr, oracle.indptr)
+            npt.assert_array_equal(C.indices, oracle.indices)
+            npt.assert_allclose(C.data, oracle.data, rtol=1e-12,
+                                atol=1e-12)
+        finally:
+            config.spgemm_esc_force_sort = False
+
     def test_gram_huge_routes_esc(self):
         old_blocked = hops._BLOCKED_SPGEMM_BYTES
         old_host = hops._HOST_EXTRACT_BYTES
