@@ -511,6 +511,10 @@ def main():
     # so this is the binding term; the r2 bandwidth-only model put SoL
     # at 0.9% and the pure-compute model at 4%, both unactionable) +
     # max(Ozaki bf16 slice flops at measured MXU rate, streaming).
+    # Since round 4 the steady-state kernel CACHES the densify planes
+    # (inspector-executor, config.spgemm_plane_cache), so the measured
+    # number can beat this per-call-densify roof — SoL > 100% then
+    # means the scatter term is amortized, not that the model is wrong.
     from sparse_dot_tpu.ops import ozaki as _oz
 
     mxu_tflops = _measure_mxu_tput()
@@ -669,6 +673,9 @@ def main():
             "spgemm_esc_ms": round(esc_ms, 3),
             "spgemm_structural_ms": round(spgemm_ms, 3),
             "structural_pattern_default": True,
+            "spgemm_plane_cached": bool(
+                getattr(_cfg, "spgemm_plane_cache", False)
+            ),
             "spgemm_esc_1m_ms": round(esc_1m_ms, 1),
             "spgemm_esc_1m_nnz": esc_1m_nnz,
             "mxu_bf16_tflops": round(mxu_tflops, 1),

@@ -64,6 +64,14 @@ class _Config:
         # wins at low density; disable to force the densify/scatter
         # paths.
         self.ell_spmm_enabled = True
+        # Inspector-executor plane cache: containers cache their dense
+        # numeric planes + bf16 structural indicator per data buffer so
+        # steady-state SpGEMM skips the densify scatters (the dominant
+        # cost: headline structural 17.8 -> 6.1 ms on TPU).  The byte
+        # budget bounds the per-container dense footprint; above it the
+        # scatter-per-call path runs as before.
+        self.spgemm_plane_cache = True
+        self.spgemm_plane_cache_bytes = 1 << 28
         # Expansion budget (scalar products per row block) of the ESC
         # sparse-output SpGEMM — bounds its device memory high-water
         # mark (~40 bytes/slot transient).

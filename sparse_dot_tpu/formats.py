@@ -227,6 +227,45 @@ class SparseDeviceMatrix:
             vals = vals[order]
         return flat, vals, col_major
 
+    def dense_planes(self, data=None, hilo=False):
+        """Cached dense numeric planes + bf16 structural indicator for
+        the plane-cached SpGEMM programs (``_xla.*_planes``).
+
+        This is the framework's ``mkl_sparse_optimize`` analog: the
+        densify scatters dominate the fused structural programs and
+        recompute bit-identical results while the operand is unchanged,
+        so the container caches them per data buffer (the indicator is
+        data-independent and survives value updates).  Returns
+        (num_parts_tuple, indicator, col_major) or None when the dense
+        footprint exceeds ``config.spgemm_plane_cache_bytes`` (or the
+        cache is disabled).
+
+        ``hilo=True`` stores the exact f64 (hi, lo) f32 pair the Ozaki
+        matmul consumes; the cache keys on it.
+        """
+        from .config import config as _cfg
+        from .ops import _xla
+
+        if not getattr(_cfg, "spgemm_plane_cache", True) or self.planar:
+            return None
+        data = self.data if data is None else data
+        m, n = self.shape
+        num_bytes = m * n * (8 if hilo else np.dtype(self.dtype).itemsize)
+        if num_bytes + m * n * 2 > getattr(
+            _cfg, "spgemm_plane_cache_bytes", 1 << 28
+        ):
+            return None
+        cache = getattr(self, "_plane_cache", None)
+        if cache is not None and cache[0] is data and cache[1] == hilo:
+            return cache[2]
+        flat, vals, col_major = self.sorted_flat_parts(data)
+        shape = (n, m) if col_major else (m, n)
+        parts = _xla.dense_planes_prep(flat, vals, shape=shape,
+                                       hilo=hilo)
+        out = (tuple(parts[:-1]), parts[-1], col_major)
+        self._plane_cache = (data, hilo, out)
+        return out
+
 
 def _to_device_indices(arr):
     return jnp.asarray(np.asarray(arr, dtype=config.index_dtype))

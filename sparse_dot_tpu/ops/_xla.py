@@ -1066,6 +1066,217 @@ def spgemm_structural_packed(a_flat, a_vals, b_flat, b_vals, m, k, n,
     return jnp.concatenate([c.reshape(-1), packed])
 
 
+# ---------------------------------------------------------------------------
+# Planes-cached structural SpGEMM (inspector-executor steady state)
+#
+# The densify scatters are the dominant cost of the fused structural
+# programs (~11.6 ms of the headline's 17.8 ms — measured,
+# experiments/exp_r4_dense_cache.py), and they recompute bit-identical
+# results every call while the operand is unchanged.  MKL's
+# inspector-executor model (``mkl_sparse_optimize``) legitimizes
+# caching derived layouts on the handle; here the containers cache the
+# dense numeric planes + the bf16 structural indicator per data buffer
+# (``formats.dense_planes``) and these program variants consume them
+# directly: headline structural SpGEMM 17.8 -> 6.1 ms on the chip.
+# ---------------------------------------------------------------------------
+
+
+def _numeric_from_planes(a_num, b_num, a_dim, b_dim, syrk, precision,
+                         triangular):
+    """Numeric matmul from pre-densified operands: ``a_num``/``b_num``
+    are ``(dense,)`` or the exact f64 ``(hi, lo)`` f32 pair."""
+    if len(a_num) == 2:
+        if syrk:
+            c = _ozaki.syrk_hilo(a_num[0], a_num[1], contract=a_dim)
+        else:
+            c = _ozaki.matmul_hilo(
+                a_num[0], a_num[1], b_num[0], b_num[1],
+                a_contract=a_dim, b_contract=b_dim,
+            )
+    else:
+        a_dense = a_num[0]
+        if syrk:
+            c = lax.dot_general(
+                a_dense, a_dense, (((a_dim,), (a_dim,)), ((), ())),
+                precision=_prec(a_dense.dtype, precision),
+            )
+        else:
+            c = lax.dot_general(
+                a_dense, b_num[0], (((a_dim,), (b_dim,)), ((), ())),
+                precision=_prec(a_dense.dtype, precision),
+            )
+    if triangular:
+        c = jnp.triu(c)
+    return c
+
+
+def _pattern_from_ind(ind_a, ind_b, a_dim, b_dim, syrk, triangular):
+    if syrk:
+        p = lax.dot_general(
+            ind_a, ind_a, (((a_dim,), (a_dim,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        p = lax.dot_general(
+            ind_a, ind_b, (((a_dim,), (b_dim,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if triangular:
+        p = jnp.triu(p)
+    mask_flat = (p > 0).reshape(-1)
+    return mask_flat, jnp.sum(mask_flat.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("shape", "hilo"))
+def dense_planes_prep(flat, vals, shape, hilo):
+    """One-time prep for the plane cache: dense numeric operand ((hi,
+    lo) f32 pair when ``hilo``) + bf16 structural indicator."""
+    if hilo:
+        num = densify_sorted_hilo(flat, vals, shape)
+    else:
+        num = (densify_sorted(flat, vals, shape),)
+    ind = _indicator_sorted(flat, shape[0] * shape[1]).reshape(shape)
+    return num + (ind,)
+
+
+@partial(jax.jit, static_argnames=("shape", "hilo"))
+def dense_planes_planar_prep(flat, ch_r, ch_i, shape, hilo):
+    """Planar-complex plane-cache prep: both value channels densified
+    from the SHARED flat index + one bf16 indicator."""
+    if hilo:
+        a = densify_sorted_hilo(flat, ch_r, shape)
+        b = densify_sorted_hilo(flat, ch_i, shape)
+    else:
+        a = (densify_sorted(flat, ch_r, shape),)
+        b = (densify_sorted(flat, ch_i, shape),)
+    ind = _indicator_sorted(flat, shape[0] * shape[1]).reshape(shape)
+    return a, b, ind
+
+
+@partial(
+    jax.jit,
+    static_argnames=("a_cm", "b_cm", "syrk", "precision", "use_ozaki",
+                     "triangular"),
+)
+def spgemm_structural_planar_planes(a_ch, ind_a, b_ch, ind_b,
+                                    a_cm=False, b_cm=False, syrk=False,
+                                    precision=None, use_ozaki=False,
+                                    triangular=False):
+    """Planar-complex structural SpGEMM from cached channel planes —
+    the :func:`spgemm_structural_planar` math minus the densify
+    scatters.  ``a_ch``/``b_ch`` = ((re planes), (im planes)) where
+    each channel is ``(dense,)`` or the f64 ``(hi, lo)`` pair.
+
+    Returns (re_dense, im_dense, mask_flat, count)."""
+    a_dim = 0 if a_cm else 1
+    b_dim = 1 if b_cm else 0
+    if use_ozaki:
+        (arh, arl), (aih, ail) = a_ch
+        if syrk:
+            re, im = _ozaki.matmul_hilo_planar(
+                arh, arl, aih, ail, None, None, None, None,
+                a_contract=a_dim, syrk=True,
+            )
+        else:
+            (brh, brl), (bih, bil) = b_ch
+            re, im = _ozaki.matmul_hilo_planar(
+                arh, arl, aih, ail, brh, brl, bih, bil,
+                a_contract=a_dim, b_contract=b_dim,
+            )
+    else:
+        (ar,), (ai,) = a_ch
+        prec = _prec(ar.dtype, precision)
+        if syrk:
+            dims = (((a_dim,), (a_dim,)), ((), ()))
+            rr = lax.dot_general(ar, ar, dims, precision=prec)
+            ii = lax.dot_general(ai, ai, dims, precision=prec)
+            ri = lax.dot_general(ar, ai, dims, precision=prec)
+            re, im = rr - ii, ri + ri.T
+        else:
+            dims = (((a_dim,), (b_dim,)), ((), ()))
+            (br,), (bi,) = b_ch
+            re = (lax.dot_general(ar, br, dims, precision=prec)
+                  - lax.dot_general(ai, bi, dims, precision=prec))
+            im = (lax.dot_general(ar, bi, dims, precision=prec)
+                  + lax.dot_general(ai, br, dims, precision=prec))
+    mask_flat, count = _pattern_from_ind(ind_a, ind_b, a_dim, b_dim,
+                                         syrk, triangular)
+    return re, im, mask_flat, count
+
+
+@partial(
+    jax.jit,
+    static_argnames=("a_cm", "b_cm", "syrk", "precision", "triangular",
+                     "with_count"),
+)
+def spgemm_numeric_planes(a_num, b_num, a_cm=False, b_cm=False,
+                          syrk=False, precision=None, triangular=False,
+                          with_count=False):
+    """Numeric-only (spmmd) phase from cached planes."""
+    a_dim = 0 if a_cm else 1
+    b_dim = 1 if b_cm else 0
+    c = _numeric_from_planes(a_num, b_num, a_dim, b_dim, syrk,
+                             precision, triangular)
+    if with_count:
+        return c, jnp.count_nonzero(c)
+    return c
+
+
+@partial(
+    jax.jit,
+    static_argnames=("a_cm", "b_cm", "syrk", "precision", "triangular"),
+)
+def spgemm_structural_planes(a_num, ind_a, b_num, ind_b, a_cm=False,
+                             b_cm=False, syrk=False, precision=None,
+                             triangular=False):
+    """Numeric + pattern + count from cached planes, one dispatch.
+    Returns (c_dense, mask_flat, count)."""
+    a_dim = 0 if a_cm else 1
+    b_dim = 1 if b_cm else 0
+    c = _numeric_from_planes(a_num, b_num, a_dim, b_dim, syrk,
+                             precision, triangular)
+    mask_flat, count = _pattern_from_ind(ind_a, ind_b, a_dim, b_dim,
+                                         syrk, triangular)
+    return c, mask_flat, count
+
+
+@partial(
+    jax.jit,
+    static_argnames=("a_cm", "b_cm", "syrk", "precision", "triangular"),
+)
+def spgemm_structural_packed_planes(a_num, ind_a, b_num, ind_b,
+                                    a_cm=False, b_cm=False, syrk=False,
+                                    precision=None, triangular=False):
+    """Small-product fast path from cached planes: one flat
+    ``[dense | packed mask bits]`` buffer (single readback)."""
+    c, mask_flat, _ = spgemm_structural_planes(
+        a_num, ind_a, b_num, ind_b, a_cm=a_cm, b_cm=b_cm, syrk=syrk,
+        precision=precision, triangular=triangular,
+    )
+    packed = _pack_mask_bits(mask_flat, c.dtype)
+    return jnp.concatenate([c.reshape(-1), packed])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("a_cm", "b_cm", "syrk", "precision", "triangular",
+                     "nnz"),
+)
+def spgemm_structural_extract_planes(a_num, ind_a, b_num, ind_b,
+                                     prev_bad, a_cm=False, b_cm=False,
+                                     syrk=False, precision=None,
+                                     triangular=False, nnz=0):
+    """The whole structural SpGEMM in ONE dispatch from cached planes.
+    Returns (vals, cols, indptr, count, bad)."""
+    c, mask_flat, count = spgemm_structural_planes(
+        a_num, ind_a, b_num, ind_b, a_cm=a_cm, b_cm=b_cm, syrk=syrk,
+        precision=precision, triangular=triangular,
+    )
+    vals, cols, indptr = extract_sparse_masked(c, mask_flat, nnz)
+    bad = prev_bad | (count != jnp.asarray(nnz, count.dtype))
+    return vals, cols, indptr, count, bad
+
+
 @partial(
     jax.jit,
     static_argnames=("m", "k", "n", "a_cm", "b_cm", "syrk", "triangular"),

@@ -91,3 +91,70 @@ class TestTransferCacheInvalidation(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestPlaneCache(unittest.TestCase):
+    """Inspector-executor dense-plane cache (round 4): steady-state
+    SpGEMM consumes cached numeric planes + indicator; results must be
+    identical with the cache on/off, and value updates must rebuild."""
+
+    def _product(self, X, XT):
+        from sparse_dot_tpu import dot_product
+
+        return dot_product(X, XT)
+
+    def test_cache_equivalence_and_invalidation(self):
+        from sparse_dot_tpu.config import config
+
+        X = sps.random(120, 300, density=0.1, format="csr",
+                       dtype=np.float64, random_state=3)
+        XT = X.T.tocsc()
+        C_on = self._product(X, XT)
+        config.spgemm_plane_cache = False
+        try:
+            C_off = self._product(X, XT)
+        finally:
+            config.spgemm_plane_cache = True
+        np.testing.assert_array_equal(C_on.indptr, C_off.indptr)
+        np.testing.assert_array_equal(C_on.indices, C_off.indices)
+        np.testing.assert_allclose(C_on.data, C_off.data, atol=1e-12)
+        np.testing.assert_allclose(
+            C_on.toarray(), (X @ XT).toarray(), atol=1e-10
+        )
+
+    def test_value_update_rebuilds_planes(self):
+        from sparse_dot_tpu import formats
+        from sparse_dot_tpu.ops import host as hops
+
+        X = sps.random(80, 200, density=0.1, format="csr",
+                       dtype=np.float64, random_state=5)
+        A = formats.to_device(X)
+        B = formats.to_device(sps.random(
+            200, 90, density=0.1, format="csr", dtype=np.float64,
+            random_state=6,
+        ))
+        C1 = hops.spgemm_device(A, B)
+        # new values, same structure: planes must rebuild, not reuse
+        import jax.numpy as jnp
+
+        A2 = formats.CSR(A.data * 2.0, A.indices, A.indptr, A.shape,
+                         dtype=A.dtype)
+        C2 = hops.spgemm_device(A2, B)
+        np.testing.assert_allclose(
+            np.asarray(C2.data), 2.0 * np.asarray(C1.data), atol=1e-12
+        )
+
+    def test_budget_gate(self):
+        from sparse_dot_tpu import formats
+        from sparse_dot_tpu.config import config
+
+        X = sps.random(64, 64, density=0.1, format="csr",
+                       dtype=np.float64, random_state=7)
+        A = formats.to_device(X)
+        old = config.spgemm_plane_cache_bytes
+        config.spgemm_plane_cache_bytes = 16  # force over-budget
+        try:
+            self.assertIsNone(A.dense_planes(hilo=False))
+        finally:
+            config.spgemm_plane_cache_bytes = old
+        self.assertIsNotNone(A.dense_planes(hilo=False))
