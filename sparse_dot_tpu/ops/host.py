@@ -972,6 +972,12 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
 # could silently alias a new matrix to an old entry.
 _spgemm_nnz_cache = {}
 
+# Extraction-structure cache (round 4): keyed like the nnz cache, holds
+# (src, dest, cols, indptr) device arrays — pattern-only data, so the
+# same monotone-token safety argument applies; the in-band count check
+# still validates every hit.
+_spgemm_struct_cache = {}
+
 # ESC host-planning cache (see spgemm_esc_arrays): keyed by structure
 # tokens + budget, holds the numpy planning arrays and per-block
 # column-sort permutations.
@@ -1182,6 +1188,7 @@ def validate_speculation():
     _check_state["ops"] = 0
     if bad is not None and bool(bad):
         _spgemm_nnz_cache.clear()
+        _spgemm_struct_cache.clear()
         raise RuntimeError(
             "sparse_dot_tpu: a deferred speculative SpGEMM sizing check "
             "failed — a device-resident product in the last "
@@ -1252,7 +1259,10 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
 
     if nnz is None:
         # Sizing miss: two dispatches (structural program, then the
-        # extraction at the freshly learned exact size).
+        # extraction at the freshly learned exact size).  The
+        # extraction STRUCTURE (src/dest/cols/indptr — pattern-only
+        # data) is cached alongside so steady-state repeats reduce to
+        # pure value movement.
         dense_dev, mask_flat, count = _spgemm_structural_real(
             A, A.data, B, B.data, triangular=triangular
         )
@@ -1260,9 +1270,11 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         _spgemm_nnz_cache[key] = nnz
         if nnz == 0:
             return _empty()
-        vals, cols, indptr = _xla.extract_sparse_masked(
-            dense_dev, mask_flat, nnz=nnz
+        src, dest, cols, indptr = _xla.extract_structure(
+            mask_flat, m, n, nnz=nnz
         )
+        _spgemm_struct_cache[key] = (src, dest, cols, indptr)
+        vals = dense_dev.reshape(-1)[src]  # one-time value gather
     else:
         if nnz == 0:
             return _empty()
@@ -1278,7 +1290,22 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         if prev_bad is None:
             prev_bad = jnp.zeros((), jnp.bool_)
         planes = _planes_for(A, A.data, B, B.data, use_oz)
-        if planes is not None:
+        struct = _spgemm_struct_cache.get(key)
+        if planes is not None and struct is not None:
+            # Fully-cached steady state: planes + extraction structure;
+            # the program does numeric + pattern-count + value movement
+            # only.  cols/indptr come straight from the cache.
+            a_num, ind_a, a_cm, b_num, ind_b, b_cm, syrk = planes
+            src, dest, cols, indptr = struct
+            use_gather = np.dtype(real_dtype) == np.float64
+            vals, count, bad = _xla.spgemm_structural_vals_planes(
+                a_num, ind_a, b_num, ind_b,
+                src if use_gather else dest, prev_bad, a_cm=a_cm,
+                b_cm=b_cm, syrk=syrk, triangular=triangular, nnz=nnz,
+                gather=use_gather,
+            )
+            out = (vals, cols, indptr, count, bad)
+        elif planes is not None:
             a_num, ind_a, a_cm, b_num, ind_b, b_cm, syrk = planes
             out = _xla.spgemm_structural_extract_planes(
                 a_num, ind_a, b_num, ind_b, prev_bad, a_cm=a_cm,
@@ -1306,6 +1333,7 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
                 # Structure changed under a reused token (shouldn't
                 # happen) — fall back to the exact-size path.
                 _spgemm_nnz_cache[key] = true_nnz
+                _spgemm_struct_cache.pop(key, None)
                 _check_state["bad"] = None
                 if true_nnz == 0:
                     return _empty()
@@ -1323,6 +1351,7 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
 
     if len(_spgemm_nnz_cache) > 256:
         _spgemm_nnz_cache.clear()
+        _spgemm_struct_cache.clear()
     return formats.CSR(vals, cols, indptr, (m, n), dtype=out_dtype)
 
 
