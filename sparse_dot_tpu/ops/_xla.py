@@ -362,6 +362,26 @@ def axpby(c, alpha=None, beta=None, c0=None):
     return c
 
 
+@partial(jax.jit, static_argnames=("a_cm", "precision"))
+def spmm_planes(a_num, b, a_cm=False, precision=None, alpha=None,
+                beta=None, c0=None):
+    """SpMM from cached dense planes (inspector-executor steady state):
+    pure MXU matmul + accumulate epilogue, no densify scatters."""
+    a_dim = 0 if a_cm else 1
+    if len(a_num) == 2:
+        b_hi, b_lo = _ozaki.hilo(b)
+        c = _ozaki.matmul_hilo(
+            a_num[0], a_num[1], b_hi, b_lo, a_contract=a_dim,
+            b_contract=0,
+        )
+    else:
+        c = lax.dot_general(
+            a_num[0], b, (((a_dim,), (0,)), ((), ())),
+            precision=_prec(a_num[0].dtype, precision),
+        )
+    return axpby(c, alpha, beta, c0)
+
+
 @partial(jax.jit,
          static_argnames=("m", "k", "a_cm", "precision", "use_ozaki"))
 def spmm_densified_sorted(flat, vals, b, m, k, a_cm=False, precision=None,

@@ -193,12 +193,20 @@ def _real_spmm(A, a_data, b_dev, transpose, alpha=None, beta=None,
     if not jnp.iscomplexobj(a_data) and _xla._prefer_densify(
         m, k, n, nnz, a_data.dtype
     ):
+        use_oz = _xla._ozaki.enabled(a_data.dtype, k, m * k * n)
+        planes = A.dense_planes(a_data, hilo=use_oz)
+        if planes is not None:
+            a_num, _ind, cm = planes
+            # transpose flips which orientation the planes address
+            return _xla.spmm_planes(
+                a_num, b_dev, a_cm=bool(cm) != bool(transpose),
+                alpha=alpha, beta=beta, c0=c0,
+            )
         flat, vals, cm = A.sorted_flat_parts(a_data)
-        # transpose flips which dense orientation the flat addresses
         a_cm = bool(cm) != bool(transpose)
         return _xla.spmm_densified_sorted(
             flat, vals, b_dev, m=m, k=k, a_cm=a_cm,
-            use_ozaki=_xla._ozaki.enabled(a_data.dtype, k, m * k * n),
+            use_ozaki=use_oz,
             alpha=alpha, beta=beta, c0=c0,
         )
 
