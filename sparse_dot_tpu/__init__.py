@@ -43,6 +43,7 @@ from .dispatch import dot_product, gram_matrix, sparse_qr_solve
 from .ops.sypr import sypr
 from .solvers import (
     cg,
+    cg_mrhs,
     fgmres,
     pardiso,
     pardisoinit,
@@ -107,6 +108,7 @@ __all__ = [
     "sypr",
     "sparse_qr_solve",
     "cg",
+    "cg_mrhs",
     "fgmres",
     "pardiso",
     "pardisoinit",

@@ -4,6 +4,7 @@ from .iterative import (
     FGMRESIterativeSparseSolver,
     ConvergenceWarning,
     cg,
+    cg_mrhs,
     fgmres,
 )
 from .pardiso import (
@@ -20,6 +21,7 @@ __all__ = [
     "FGMRESIterativeSparseSolver",
     "ConvergenceWarning",
     "cg",
+    "cg_mrhs",
     "fgmres",
     "pardiso",
     "pardisoinit",

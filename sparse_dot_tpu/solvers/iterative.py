@@ -583,6 +583,80 @@ def cg(A, b, x0=None, tol=1e-05, maxiter=DEFAULT_MAX_ITER, M=None,
         return x, solver.final_code
 
 
+def cg_mrhs(A, B, X0=None, tol=1e-05, maxiter=DEFAULT_MAX_ITER, M=None,
+            callback=None, atol=None):
+    """Multi-RHS conjugate gradient: solve ``A X = B`` for B ``(n, k)``.
+
+    The WORKING analog of MKL's ``dcgmrhs`` RCI family, which the
+    reference binds but never wires up (``_cfunctions.py:154-168``;
+    argtypes never set, no Python wrapper — SURVEY §2b).  All k
+    column solves run in ONE compiled program: the single-RHS device
+    loop is vmapped over columns, so the batched ``while_loop``
+    advances every column until each has converged (per-column
+    thresholds ``max(tol * ||b_col||, atol)``).
+
+    Returns ``(X (n, k), codes (k,))`` with code 0 = converged,
+    -1 = hit ``maxiter`` (matching :func:`cg`'s convention per
+    column).
+    """
+    _wrapper_guards(M, callback)
+    Ac = _as_container(A)
+    if Ac is None:
+        raise ValueError(
+            "cg_mrhs requires a scipy CSR matrix, a device container, "
+            f"or a sparse handle; got {type(A)}"
+        )
+    n = Ac.shape[0]
+    B_np = np.asarray(B, dtype=np.float64)
+    if B_np.ndim != 2 or B_np.shape[0] != n:
+        raise ValueError(
+            f"B must be a dense (n, k) array with n == {n}; got shape "
+            f"{B_np.shape}"
+        )
+    k = B_np.shape[1]
+    if X0 is None:
+        X0_np = np.zeros((n, k), dtype=np.float64)
+    else:
+        X0_np = np.asarray(X0, dtype=np.float64)
+        if X0_np.shape != (n, k):
+            raise ValueError(f"X0 must have shape {(n, k)}")
+
+    a_tol = DEFAULT_ATOL if atol is None else atol
+    thresholds = np.maximum(
+        tol * np.linalg.norm(B_np, axis=0), max(a_tol, 0.0)
+    )
+    thresholds = np.where(thresholds == 0.0, 1e-12, thresholds)
+
+    rows, cols, vals = _coo_of_container(Ac)
+    batched = jax.vmap(
+        lambda r, c, v, b, x0, thr, mi: _cg_device_loop(
+            r, c, v, b, x0, thr, mi, n=n
+        ),
+        in_axes=(None, None, None, 1, 1, 0, None),
+        out_axes=(1, 0, 0),
+    )
+    X, rs, _its = batched(
+        rows, cols, vals, jnp.asarray(B_np), jnp.asarray(X0_np),
+        jnp.asarray(thresholds, jnp.float64),
+        jnp.asarray(maxiter, jnp.int32),
+    )
+    X_np = np.asarray(X)
+    res = np.sqrt(np.asarray(rs))
+    codes = np.where(res <= thresholds, 0, -1).astype(np.int32)
+    if (codes != 0).any():
+        warnings.warn(
+            f"cg did not converge within {maxiter} iterations for "
+            f"{int((codes != 0).sum())} of {k} right-hand sides",
+            ConvergenceWarning,
+        )
+    return X_np, codes
+
+
+def _coo_of_container(Ac):
+    """(rows, cols, vals) expanded COO of a CSR device container."""
+    return Ac.row_indices(), Ac.indices, Ac.data
+
+
 def fgmres(A, b, x0=None, tol=1e-05, restart=None, maxiter=DEFAULT_MAX_ITER,
            M=None, callback=None, atol=None, callback_type=None):
     """FGMRES convenience wrapper -> (x, code); mirrors the reference

@@ -278,3 +278,47 @@ class TestSparseSolverFGMRES(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestCGMultiRHS(unittest.TestCase):
+    """cg_mrhs — the working analog of MKL's dcgmrhs family, which the
+    reference binds but never wraps (``_cfunctions.py:154-168``)."""
+
+    def setUp(self):
+        n = 48
+        rng = np.random.default_rng(33)
+        M = sps.random(n, n, density=0.2, random_state=34, format="csr")
+        self.A = (M @ M.T + n * sps.identity(n)).tocsr()
+        self.B = rng.random((n, 5))
+        self.n = n
+
+    def test_matches_single_rhs(self):
+        from sparse_dot_tpu import cg, cg_mrhs
+
+        X, codes = cg_mrhs(self.A, self.B, tol=1e-10)
+        np.testing.assert_array_equal(codes, 0)
+        oracle = np.linalg.solve(self.A.toarray(), self.B)
+        np.testing.assert_allclose(X, oracle, atol=1e-7)
+        # column 0 must agree with the single-RHS solver
+        x0, code0 = cg(self.A, self.B[:, 0], tol=1e-10)
+        self.assertEqual(code0, 0)
+        np.testing.assert_allclose(X[:, 0], x0, atol=1e-9)
+
+    def test_shape_guards(self):
+        from sparse_dot_tpu import cg_mrhs
+
+        with self.assertRaises(ValueError):
+            cg_mrhs(self.A, self.B[:, 0])  # 1-D B
+        with self.assertRaises(ValueError):
+            cg_mrhs(self.A, self.B[:-1])  # wrong n
+        with self.assertRaises(ValueError):
+            cg_mrhs(self.A, self.B, X0=np.zeros((self.n, 2)))
+
+    def test_nonconvergence_codes(self):
+        from sparse_dot_tpu import cg_mrhs
+        from sparse_dot_tpu.solvers.iterative import ConvergenceWarning
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", ConvergenceWarning)
+            with self.assertRaises(ConvergenceWarning):
+                cg_mrhs(self.A, self.B, tol=1e-14, maxiter=1)
