@@ -577,18 +577,31 @@ def main():
         lambda: hops.gram_sparse(Ac128, np.complex128, aat=True)[0],
         reps=3,
     )
-    # Decomposition: device-side planar 4-product numeric phase alone
-    # (the e2e number above also pays the complex-result link transfer
-    # and host combine).
-    At128 = Ac128.T
-    arr_c, ari_c = hops._a_parts(Ac128)
+    # Decomposition: the SHIPPED fused planar program (numeric from
+    # cached channel planes + pattern + count, one dispatch) — the e2e
+    # number above also pays the complex-result link transfer and host
+    # combine.
+    use_ozc = _xla._ozaki.enabled(np.float64, 5000, 500 * 5000 * 500)
+    pa128 = hops._planar_planes(Ac128, use_ozc)
+    if pa128 is not None:
+        a_ch128, ind_a128, a_cm128 = pa128
 
-    def gram_c128_device():
-        re = (hops._spgemm_dense_real(Ac128, arr_c, At128, arr_c)
-              - hops._spgemm_dense_real(Ac128, ari_c, At128, ari_c))
-        im = (hops._spgemm_dense_real(Ac128, arr_c, At128, ari_c)
-              + hops._spgemm_dense_real(Ac128, ari_c, At128, arr_c))
-        return re + im
+        def gram_c128_device():
+            re, im, _, _ = _xla.spgemm_structural_planar_planes(
+                a_ch128, ind_a128, None, None, a_cm=a_cm128,
+                syrk=True, use_ozaki=use_ozc, triangular=True,
+            )
+            return re + im
+    else:
+        At128 = Ac128.T
+        arr_c, ari_c = hops._a_parts(Ac128)
+
+        def gram_c128_device():
+            re = (hops._spgemm_dense_real(Ac128, arr_c, At128, arr_c)
+                  - hops._spgemm_dense_real(Ac128, ari_c, At128, ari_c))
+            im = (hops._spgemm_dense_real(Ac128, arr_c, At128, ari_c)
+                  + hops._spgemm_dense_real(Ac128, ari_c, At128, arr_c))
+            return re + im
 
     gram_c128_dev_ms = _pipelined(gram_c128_device, s_arr, reps=3)
 
