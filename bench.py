@@ -169,7 +169,14 @@ def _measure_gather_bw():
             )
             return acc
 
-        t = _pipelined(lambda b=b: probe(b), lambda r: r.sum(), reps=5)
+        # A roofline denominator should be the BEST rate the hardware
+        # demonstrates: probe twice and keep the faster run (tunnel
+        # contention made single runs swing ~3x between sessions, which
+        # moved SoL percentages without any kernel change).
+        t = min(
+            _pipelined(lambda b=b: probe(b), lambda r: r.sum(), reps=5)
+            for _ in range(2)
+        )
         out[name] = nnz * cols * 4 / (t * 1e-3) / 1e9
     return out
 
@@ -199,7 +206,12 @@ def _measure_scatter_rate():
             indices_are_sorted=True,
         )
 
-    t = _pipelined(lambda: probe(vals), lambda r: r.sum(), reps=5)
+    # best-of-2: a roof should be the hardware's demonstrated best
+    # (see _measure_gather_bw).
+    t = min(
+        _pipelined(lambda: probe(vals), lambda r: r.sum(), reps=5)
+        for _ in range(2)
+    )
     return nnz / (t * 1e-3)
 
 
