@@ -252,6 +252,96 @@ def sharded_spmv(mesh, A, x, axis="rows"):
     return y.reshape(-1)[: A.shape[0]]
 
 
+def sharded_spmv_halo(mesh, A, x, halo=1, axis="rows"):
+    """Nearest-neighbor (halo-exchange) SpMV for BANDED row-sharded A:
+    y = A @ x with x row-sharded like A and each device receiving only
+    the x segments of its ±``halo`` ring neighbors (2·halo ``ppermute``
+    hops of k_local elements each) instead of an all-gather of the full
+    vector — the ICI-local pattern of SURVEY §7 (halo/remote-segment
+    exchange).  Communication per device is ``2·halo·k_local`` elements
+    versus ``S·k_local`` for the replicated/all-gather formulation.
+
+    Every nonzero's column must lie inside its row-shard's halo window
+    ``[(s-halo)·k_local, (s+halo+1)·k_local)`` — i.e. the matrix
+    bandwidth must be below ``halo · ceil(k/S)``.  Violations are
+    counted in-program (one scalar readback) and raise ``ValueError``;
+    use :func:`sharded_spmv` for general matrices.
+    """
+    if getattr(A, "planar", False) or np.iscomplexobj(np.asarray(x)):
+        raise NotImplementedError(
+            "sharded_spmv_halo supports real dtypes; use sharded_spmv"
+        )
+    S = A.n_shards
+    m_local = A.m_local
+    k = A.shape[1]
+    k_local = _ceil_div(k, S)
+    k_pad = S * k_local
+    x_np = np.asarray(x, dtype=np.asarray(A.vals).dtype).ravel()
+    if x_np.shape[0] != k:
+        raise ValueError(f"x must have length {k}; got {x_np.shape[0]}")
+    x_pad = np.zeros(k_pad, x_np.dtype)
+    x_pad[:k] = x_np
+    win = (2 * halo + 1) * k_local
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    def _halo(rows, cols, vals, x_block):
+        s = jax.lax.axis_index(axis)
+        rows, cols, vals = rows[0], cols[0], vals[0]
+        xb = x_block.reshape(k_local)
+        # Pull halo segments: x_{s+h} arrives by rotating "down" the
+        # ring h times, x_{s-h} by rotating "up".  Each hop is issued
+        # before its successor so transfers pipeline on ICI.
+        down = [(i, (i - 1) % S) for i in range(S)]  # recv from right
+        up = [(i, (i + 1) % S) for i in range(S)]    # recv from left
+        right_parts = []
+        cur = xb
+        for _ in range(halo):
+            cur = jax.lax.ppermute(cur, axis, down)
+            right_parts.append(cur)
+        left_parts = []
+        cur = xb
+        for _ in range(halo):
+            cur = jax.lax.ppermute(cur, axis, up)
+            left_parts.append(cur)
+        window = jnp.concatenate(
+            list(reversed(left_parts)) + [xb] + right_parts
+        )
+        base = (s - halo) * k_local
+        lc = cols.astype(jnp.int32) - base
+        live = rows < m_local
+        in_win = (lc >= 0) & (lc < win)
+        valid = live & in_win
+        prods = jnp.where(
+            valid, vals * window[jnp.clip(lc, 0, win - 1)], 0
+        )
+        y = jnp.zeros((m_local + 1,), vals.dtype).at[
+            jnp.where(valid, rows, m_local)
+        ].add(prods, mode="drop")
+        dropped = jnp.sum(
+            (live & ~in_win & (vals != 0)).astype(jnp.int32)
+        )
+        return y[None, :m_local], jax.lax.psum(dropped, axis)
+
+    y, dropped = jax.jit(_halo)(
+        A.rows, A.cols, A.vals,
+        jnp.asarray(x_pad).reshape(S, k_local),
+    )
+    if int(dropped) != 0:
+        raise ValueError(
+            f"sharded_spmv_halo: {int(dropped)} nonzeros fall outside "
+            f"the halo={halo} window (bandwidth exceeds "
+            f"halo * ceil(k / n_shards) = {halo * k_local}); widen "
+            "halo or use sharded_spmv"
+        )
+    return np.asarray(y).reshape(-1)[: A.shape[0]]
+
+
 # ---------------------------------------------------------------------------
 # k-sharded SpMM with psum (the collective-bearing layout)
 # ---------------------------------------------------------------------------

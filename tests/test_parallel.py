@@ -337,3 +337,54 @@ class TestShardedCGLS(unittest.TestCase):
         x, res, iters = sharded_cgls(mesh, A_sh, b, tol=1e-12)
         expect = np.linalg.lstsq(A.toarray(), b, rcond=None)[0]
         npt.assert_array_almost_equal(x, expect)
+
+
+class TestHaloSpMV(unittest.TestCase):
+    """Nearest-neighbor halo-exchange SpMV (SURVEY §7's halo/remote-
+    segment exchange): banded matrices communicate 2*halo ring segments
+    instead of all-gathering the vector."""
+
+    @classmethod
+    def setUpClass(cls):
+        cls.n_dev = jax.device_count()
+        cls.mesh = make_mesh((cls.n_dev, 1), ("rows", "cols"))
+
+    def _banded(self, n, bw, dtype=np.float64):
+        rng = np.random.default_rng(7)
+        diags = [rng.random(n - abs(o)) for o in range(-bw, bw + 1)]
+        return sps.diags(
+            diags, range(-bw, bw + 1), format="csr", dtype=dtype
+        ).tocsr()
+
+    def test_matches_dense_oracle(self):
+        from sparse_dot_tpu.parallel import sharded_spmv_halo
+
+        n = 64 * self.n_dev
+        A = self._banded(n, 3)
+        x = np.random.default_rng(8).random(n)
+        A_sh = shard_csr_rows(A, self.n_dev, self.mesh)
+        y = sharded_spmv_halo(self.mesh, A_sh, x, halo=1)
+        npt.assert_allclose(y, A @ x, atol=1e-12)
+
+    def test_wider_halo(self):
+        from sparse_dot_tpu.parallel import sharded_spmv_halo
+
+        n = 16 * self.n_dev
+        A = self._banded(n, 20)  # bandwidth > k_local: needs halo=2
+        x = np.random.default_rng(9).random(n)
+        A_sh = shard_csr_rows(A, self.n_dev, self.mesh)
+        y = sharded_spmv_halo(self.mesh, A_sh, x, halo=2)
+        npt.assert_allclose(y, A @ x, atol=1e-12)
+
+    def test_bandwidth_violation_raises(self):
+        from sparse_dot_tpu.parallel import sharded_spmv_halo
+
+        n = 32 * self.n_dev
+        A = sps.random(n, n, density=0.2, format="csr",
+                       dtype=np.float64, random_state=10)
+        A_sh = shard_csr_rows(A, self.n_dev, self.mesh)
+        with self.assertRaises(ValueError):
+            sharded_spmv_halo(
+                self.mesh, A_sh,
+                np.random.default_rng(11).random(n), halo=1,
+            )
