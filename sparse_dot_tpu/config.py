@@ -72,6 +72,10 @@ class _Config:
         # scatter-per-call path runs as before.
         self.spgemm_plane_cache = True
         self.spgemm_plane_cache_bytes = 1 << 28
+        # Deepest inspector layer: cached pre-extracted Ozaki bf16
+        # slices (D x dense-size x 2 bytes) so steady-state f64
+        # products skip slice extraction too.
+        self.ozaki_slice_cache_bytes = 1 << 28
         # Expansion budget (scalar products per row block) of the ESC
         # sparse-output SpGEMM — bounds its device memory high-water
         # mark (~40 bytes/slot transient).

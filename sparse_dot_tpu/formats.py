@@ -266,6 +266,41 @@ class SparseDeviceMatrix:
         self._plane_cache = (data, hilo, out)
         return out
 
+    def ozaki_slices(self, data=None, contract=1):
+        """Cached pre-extracted Ozaki bf16 slices + exponents for the
+        f64 MXU matmul — the deepest inspector-executor layer: with
+        both the planes AND the slices cached, a steady-state f64
+        product is pure pair-product matmuls (the slice extraction's
+        ~1.2 ms/call on the headline operand disappears).  Keyed per
+        (data buffer, contraction axis); returns (slices, exponents)
+        or None (budget / unsupported contraction length / cache
+        off)."""
+        from .config import config as _cfg
+        from .ops import ozaki as _oz
+
+        planes = self.dense_planes(data, hilo=True)
+        if planes is None:
+            return None
+        (hi, lo), _ind, _cm = planes
+        t, D, _dj = _oz.plan(hi.shape[contract])
+        if t < 1:
+            return None
+        if D * hi.size * 2 > getattr(
+            _cfg, "ozaki_slice_cache_bytes", 1 << 28
+        ):
+            return None
+        data = self.data if data is None else data
+        cache = getattr(self, "_oz_slice_cache", None)
+        if cache is not None and cache[0] is data and cache[1] == contract:
+            return cache[2]
+        from .ops import _xla
+
+        out = _xla._ozaki.extract_slices_jit(
+            hi, lo, shape=hi.shape, contract=contract
+        )
+        self._oz_slice_cache = (data, contract, out)
+        return out
+
 
 def _to_device_indices(arr):
     return jnp.asarray(np.asarray(arr, dtype=config.index_dtype))

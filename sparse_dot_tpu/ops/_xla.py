@@ -366,9 +366,17 @@ def axpby(c, alpha=None, beta=None, c0=None):
 def spmm_planes(a_num, b, a_cm=False, precision=None, alpha=None,
                 beta=None, c0=None):
     """SpMM from cached dense planes (inspector-executor steady state):
-    pure MXU matmul + accumulate epilogue, no densify scatters."""
+    pure MXU matmul + accumulate epilogue, no densify scatters.  With
+    cached Ozaki slices for A (f64), only B's slices are extracted
+    per call."""
     a_dim = 0 if a_cm else 1
-    if len(a_num) == 2:
+    if _is_slices(a_num):
+        b_sl, b_e = _side_slices(_ozaki.hilo(b), 0)
+        c = _ozaki.matmul_from_slices(
+            a_num[0], a_num[1], b_sl, b_e, a_contract=a_dim,
+            b_contract=0,
+        )
+    elif len(a_num) == 2:
         b_hi, b_lo = _ozaki.hilo(b)
         c = _ozaki.matmul_hilo(
             a_num[0], a_num[1], b_hi, b_lo, a_contract=a_dim,
@@ -1101,11 +1109,42 @@ def spgemm_structural_packed(a_flat, a_vals, b_flat, b_vals, m, k, n,
 # ---------------------------------------------------------------------------
 
 
+def _is_slices(num):
+    """Distinguish the pre-extracted Ozaki form ``(slices (D, *, *),
+    exponents)`` from the hi/lo pair ``(hi, lo)`` by the leading
+    operand's rank."""
+    return len(num) == 2 and num[0].ndim == 3
+
+
+def _side_slices(num, dim):
+    """Normalize a hilo pair to slices (inline extraction; exact and
+    bit-identical to the cached form)."""
+    if _is_slices(num):
+        return num
+    k = num[0].shape[dim]
+    t, D, dj = _ozaki.plan(k)
+    return _ozaki._extract_slices(num[0], num[1], dim, t, D, dj)
+
+
 def _numeric_from_planes(a_num, b_num, a_dim, b_dim, syrk, precision,
                          triangular):
     """Numeric matmul from pre-densified operands: ``a_num``/``b_num``
-    are ``(dense,)`` or the exact f64 ``(hi, lo)`` f32 pair."""
-    if len(a_num) == 2:
+    are ``(dense,)``, the exact f64 ``(hi, lo)`` f32 pair, or the
+    pre-extracted Ozaki ``(slices, exponents)`` form (deepest cache
+    level — see ``formats.ozaki_slices``)."""
+    if len(a_num) == 2 and (
+        _is_slices(a_num) or (b_num is not None and _is_slices(b_num))
+    ):
+        a_sl, a_e = _side_slices(a_num, a_dim)
+        if syrk:
+            c = _ozaki.syrk_from_slices(a_sl, a_e, contract=a_dim)
+        else:
+            b_sl, b_e = _side_slices(b_num, b_dim)
+            c = _ozaki.matmul_from_slices(
+                a_sl, a_e, b_sl, b_e, a_contract=a_dim,
+                b_contract=b_dim,
+            )
+    elif len(a_num) == 2:
         if syrk:
             c = _ozaki.syrk_hilo(a_num[0], a_num[1], contract=a_dim)
         else:

@@ -198,8 +198,13 @@ def _real_spmm(A, a_data, b_dev, transpose, alpha=None, beta=None,
         if planes is not None:
             a_num, _ind, cm = planes
             # transpose flips which orientation the planes address
+            a_cm_eff = bool(cm) != bool(transpose)
+            if use_oz:
+                sl = A.ozaki_slices(a_data, contract=0 if a_cm_eff else 1)
+                if sl is not None:
+                    a_num = sl
             return _xla.spmm_planes(
-                a_num, b_dev, a_cm=bool(cm) != bool(transpose),
+                a_num, b_dev, a_cm=a_cm_eff,
                 alpha=alpha, beta=beta, c0=c0,
             )
         flat, vals, cm = A.sorted_flat_parts(a_data)
@@ -428,12 +433,20 @@ def _planes_for(A, a_data, B, b_data, use_oz):
     if pa is None:
         return None
     a_num, ind_a, a_cm = pa
+    if use_oz:
+        sl = A.ozaki_slices(a_data, contract=0 if a_cm else 1)
+        if sl is not None:
+            a_num = sl  # deepest cache level: pre-extracted slices
     if _is_syrk_pair(A, B, a_data, b_data):
         return a_num, ind_a, a_cm, None, None, False, True
     pb = B.dense_planes(b_data, hilo=use_oz)
     if pb is None:
         return None
     b_num, ind_b, b_cm = pb
+    if use_oz:
+        sl = B.ozaki_slices(b_data, contract=1 if b_cm else 0)
+        if sl is not None:
+            b_num = sl
     return a_num, ind_a, a_cm, b_num, ind_b, b_cm, False
 
 

@@ -239,6 +239,33 @@ def matmul_hilo_planar(ar_hi, ar_lo, ai_hi, ai_lo,
     return re, im
 
 
+@partial(jax.jit, static_argnames=("shape", "contract"))
+def extract_slices_jit(hi, lo, shape, contract):
+    """Standalone slice extraction (the cacheable inspector step):
+    (hi, lo) f32 planes of ``shape`` -> (slices (D, *shape) bf16,
+    exponents over the non-contract axis).  Exact — computing from the
+    cached slices is bit-identical to the inline extraction inside
+    :func:`matmul_hilo`/:func:`syrk_hilo`."""
+    t, D, dj = plan(shape[contract])
+    return _extract_slices(hi, lo, contract, t, D, dj)
+
+
+def matmul_from_slices(a_sl, a_e, b_sl, b_e, a_contract=1, b_contract=0):
+    """Pair-product matmul from PRE-EXTRACTED slices (both sides
+    share one ``plan`` since they share the contraction length).  Not
+    jitted — callers fuse it into larger programs."""
+    D = a_sl.shape[0]
+    c = _pair_products_sum(a_sl, a_contract, b_sl, b_contract, D)
+    return c * _pow2_f64(a_e[:, None] + b_e[None, :])
+
+
+def syrk_from_slices(a_sl, a_e, contract=1):
+    """A @ A^T from pre-extracted slices."""
+    D = a_sl.shape[0]
+    c = _pair_products_sum(a_sl, contract, a_sl, contract, D)
+    return c * _pow2_f64(a_e[:, None] + a_e[None, :])
+
+
 @partial(jax.jit, static_argnames=("a_contract", "b_contract"))
 def matmul_f64(a, b, a_contract=1, b_contract=0):
     """Dense f64 x f64 matmul via the Ozaki scheme (cblas_dgemm analog
