@@ -1230,17 +1230,19 @@ def spgemm_structural_planar_planes(a_ch, ind_a, b_ch, ind_b,
     a_dim = 0 if a_cm else 1
     b_dim = 1 if b_cm else 0
     if use_ozaki:
-        (arh, arl), (aih, ail) = a_ch
+        # Channels arrive as (hi, lo) pairs or pre-extracted
+        # (slices, exponents) — normalize to slices (exact either way).
+        ar = _side_slices(a_ch[0], a_dim)
+        ai = _side_slices(a_ch[1], a_dim)
         if syrk:
-            re, im = _ozaki.matmul_hilo_planar(
-                arh, arl, aih, ail, None, None, None, None,
-                a_contract=a_dim, syrk=True,
+            re, im = _ozaki.planar_from_slices(
+                ar, ai, None, None, a_contract=a_dim, syrk=True,
             )
         else:
-            (brh, brl), (bih, bil) = b_ch
-            re, im = _ozaki.matmul_hilo_planar(
-                arh, arl, aih, ail, brh, brl, bih, bil,
-                a_contract=a_dim, b_contract=b_dim,
+            br = _side_slices(b_ch[0], b_dim)
+            bi = _side_slices(b_ch[1], b_dim)
+            re, im = _ozaki.planar_from_slices(
+                ar, ai, br, bi, a_contract=a_dim, b_contract=b_dim,
             )
     else:
         (ar,), (ai,) = a_ch

@@ -476,6 +476,24 @@ def _planar_planes(M, use_oz):
     a, b, ind = _xla.dense_planes_planar_prep(
         flat, ch_r_s, ch_i_s, shape=shape, hilo=use_oz
     )
+    if use_oz:
+        # Deepest layer: cache each channel's pre-extracted Ozaki
+        # slices when they fit the slice budget (exact — slices are a
+        # lossless representation with per-row exponents).
+        contract = 0 if cm else 1
+        t, D, _dj = _xla._ozaki.plan(shape[contract])
+        if (
+            t >= 1
+            and 2 * D * m * n * 2 <= getattr(
+                config, "ozaki_slice_cache_bytes", 1 << 28
+            )
+        ):
+            a = _xla._ozaki.extract_slices_jit(
+                a[0], a[1], shape=shape, contract=contract
+            )
+            b = _xla._ozaki.extract_slices_jit(
+                b[0], b[1], shape=shape, contract=contract
+            )
     out = ((a, b), ind, cm)
     M._planar_plane_cache = (M.data, use_oz, out)
     return out

@@ -203,22 +203,16 @@ def syrk_hilo(a_hi, a_lo, contract=1):
     return c * _pow2_f64(a_e[:, None] + a_e[None, :])
 
 
-def matmul_hilo_planar(ar_hi, ar_lo, ai_hi, ai_lo,
-                       br_hi, br_lo, bi_hi, bi_lo,
-                       a_contract=1, b_contract=0, syrk=False):
-    """(Re, Im) of (Ar + iAi) @ (Br + iBi) with SHARED slice
-    extractions: each planar channel is sliced once and reused across
-    the pair products, where four separate ``matmul_hilo`` calls would
-    slice eight times.  ``syrk=True`` computes A @ A^T (B is A's
-    transpose view): Im = P + P^T from a single cross product, so the
-    whole complex gram costs three pair-product sets instead of four.
-
-    Not jitted here — callers fuse it into larger programs.
-    """
-    k = ar_hi.shape[a_contract]
-    t, D, dj = plan(k)
-    ar_s, ar_e = _extract_slices(ar_hi, ar_lo, a_contract, t, D, dj)
-    ai_s, ai_e = _extract_slices(ai_hi, ai_lo, a_contract, t, D, dj)
+def planar_from_slices(ar, ai, br, bi, a_contract=1, b_contract=0,
+                       syrk=False):
+    """(Re, Im) planar product from pre-extracted per-channel slices —
+    each channel arg is a ``(slices, exponents)`` pair.  ``syrk=True``
+    computes A @ A^T (Im = P + P^T from a single cross product: three
+    pair-product sets instead of four).  Not jitted — callers fuse it
+    into larger programs."""
+    ar_s, ar_e = ar
+    ai_s, ai_e = ai
+    D = ar_s.shape[0]
     if syrk:
         rr = _pair_products_sum(ar_s, a_contract, ar_s, a_contract, D)
         rr = rr * _pow2_f64(ar_e[:, None] + ar_e[None, :])
@@ -227,8 +221,8 @@ def matmul_hilo_planar(ar_hi, ar_lo, ai_hi, ai_lo,
         ri = _pair_products_sum(ar_s, a_contract, ai_s, a_contract, D)
         ri = ri * _pow2_f64(ar_e[:, None] + ai_e[None, :])
         return rr - ii, ri + ri.T
-    br_s, br_e = _extract_slices(br_hi, br_lo, b_contract, t, D, dj)
-    bi_s, bi_e = _extract_slices(bi_hi, bi_lo, b_contract, t, D, dj)
+    br_s, br_e = br
+    bi_s, bi_e = bi
 
     def prod(a_s, a_e, b_s, b_e):
         c = _pair_products_sum(a_s, a_contract, b_s, b_contract, D)
@@ -237,6 +231,30 @@ def matmul_hilo_planar(ar_hi, ar_lo, ai_hi, ai_lo,
     re = prod(ar_s, ar_e, br_s, br_e) - prod(ai_s, ai_e, bi_s, bi_e)
     im = prod(ar_s, ar_e, bi_s, bi_e) + prod(ai_s, ai_e, br_s, br_e)
     return re, im
+
+
+def matmul_hilo_planar(ar_hi, ar_lo, ai_hi, ai_lo,
+                       br_hi, br_lo, bi_hi, bi_lo,
+                       a_contract=1, b_contract=0, syrk=False):
+    """(Re, Im) of (Ar + iAi) @ (Br + iBi) with SHARED slice
+    extractions: each planar channel is sliced once and reused across
+    the pair products, where four separate ``matmul_hilo`` calls would
+    slice eight times.  ``syrk=True`` computes A @ A^T (B is A's
+    transpose view).
+
+    Not jitted here — callers fuse it into larger programs.
+    """
+    k = ar_hi.shape[a_contract]
+    t, D, dj = plan(k)
+    ar = _extract_slices(ar_hi, ar_lo, a_contract, t, D, dj)
+    ai = _extract_slices(ai_hi, ai_lo, a_contract, t, D, dj)
+    if syrk:
+        return planar_from_slices(ar, ai, None, None,
+                                  a_contract=a_contract, syrk=True)
+    br = _extract_slices(br_hi, br_lo, b_contract, t, D, dj)
+    bi = _extract_slices(bi_hi, bi_lo, b_contract, t, D, dj)
+    return planar_from_slices(ar, ai, br, bi, a_contract=a_contract,
+                              b_contract=b_contract)
 
 
 @partial(jax.jit, static_argnames=("shape", "contract"))
