@@ -450,12 +450,19 @@ def _planes_for(A, a_data, B, b_data, use_oz):
     return a_num, ind_a, a_cm, b_num, ind_b, b_cm, False
 
 
-def _planar_planes(M, use_oz):
+def _planar_planes(M, use_oz, role_a=True):
     """Cached channel planes for the planar-complex structural path:
     ((re planes), (im planes), indicator, col_major) per data buffer,
     or None (budget / cache off).  Same inspector-executor rationale as
     ``formats.dense_planes``; both channels share one flat index and
-    one indicator."""
+    one indicator.
+
+    ``role_a`` picks the contraction axis the cached Ozaki slices are
+    extracted for: the LHS contracts axis (0 if cm else 1), the RHS
+    axis (1 if cm else 0) — the slice exponents live on the
+    non-contract axis, so the roles are NOT interchangeable (a wrong
+    axis produced mismatched exponent shapes; caught by the round-4
+    TPU verify drive)."""
     if not getattr(config, "spgemm_plane_cache", True):
         return None
     m, n = M.shape
@@ -467,7 +474,11 @@ def _planar_planes(M, use_oz):
     ):
         return None
     cache = getattr(M, "_planar_plane_cache", None)
-    if cache is not None and cache[0] is M.data and cache[1] == use_oz:
+    if (
+        cache is not None
+        and cache[0] is M.data
+        and cache[1] == (use_oz, role_a)
+    ):
         return cache[2]
     ch_r, ch_i = _value_channels(M, 2)
     flat, ch_r_s, cm = M.sorted_flat_parts(ch_r)
@@ -480,7 +491,7 @@ def _planar_planes(M, use_oz):
         # Deepest layer: cache each channel's pre-extracted Ozaki
         # slices when they fit the slice budget (exact — slices are a
         # lossless representation with per-row exponents).
-        contract = 0 if cm else 1
+        contract = (0 if cm else 1) if role_a else (1 if cm else 0)
         t, D, _dj = _xla._ozaki.plan(shape[contract])
         if (
             t >= 1
@@ -495,7 +506,7 @@ def _planar_planes(M, use_oz):
                 b[0], b[1], shape=shape, contract=contract
             )
     out = ((a, b), ind, cm)
-    M._planar_plane_cache = (M.data, use_oz, out)
+    M._planar_plane_cache = (M.data, (use_oz, role_a), out)
     return out
 
 
@@ -1142,7 +1153,8 @@ def _spgemm_routed(A, B, out_dtype, triangular):
         use_oz = _xla._ozaki.enabled(ar.dtype, k, m * k * n)
         syrk = _is_syrk_pair_pattern(A, B)
         pa = _planar_planes(A, use_oz)
-        pb = None if syrk or pa is None else _planar_planes(B, use_oz)
+        pb = (None if syrk or pa is None
+              else _planar_planes(B, use_oz, role_a=False))
         if pa is not None and (syrk or pb is not None):
             a_ch, ind_a, a_cm = pa
             b_ch, ind_b, b_cm = (None, None, False) if syrk else pb

@@ -167,3 +167,32 @@ class TestOzakiDispatch(_ForceOzaki):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestPlanarSliceCacheRoles(unittest.TestCase):
+    """Regression for the round-4 role-axis bug: the planar slice
+    cache must extract RHS slices with the RHS contraction axis — a
+    complex CSR x CSR product (both row-major) hits the mismatched
+    configuration when Ozaki is on."""
+
+    def test_complex_csr_csr_product(self):
+        config.ozaki = "1"
+        try:
+            A = sps.random(60, 80, density=0.1, format="csr",
+                           dtype=np.float64, random_state=41)
+            A = (A + 0.5j * A).astype(np.complex128).tocsr()
+            B = sps.random(80, 50, density=0.1, format="csr",
+                           dtype=np.float64, random_state=42)
+            B = (B - 0.25j * B).astype(np.complex128).tocsr()
+            for _ in range(2):  # second call hits the caches
+                C = dot_product(A, B)
+                np.testing.assert_allclose(
+                    C.toarray(), (A @ B).toarray(), atol=1e-9
+                )
+            # CSC operand flips the contraction axis of each role
+            C2 = dot_product(A.tocsc(), B.tocsc())
+            np.testing.assert_allclose(
+                C2.toarray(), (A @ B).toarray(), atol=1e-9
+            )
+        finally:
+            config.ozaki = "auto"
