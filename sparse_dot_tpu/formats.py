@@ -227,21 +227,23 @@ class SparseDeviceMatrix:
             vals = vals[order]
         return flat, vals, col_major
 
-    def dense_planes(self, data=None, hilo=False):
-        """Cached dense numeric planes + bf16 structural indicator for
-        the plane-cached SpGEMM programs (``_xla.*_planes``).
+    def dense_planes(self, data=None, hilo=False, with_indicator=True):
+        """Cached dense numeric planes (+ bf16 structural indicator)
+        for the plane-cached SpGEMM/SpMM programs (``_xla.*_planes``).
 
         This is the framework's ``mkl_sparse_optimize`` analog: the
         densify scatters dominate the fused structural programs and
         recompute bit-identical results while the operand is unchanged,
         so the container caches them per data buffer (the indicator is
         data-independent and survives value updates).  Returns
-        (num_parts_tuple, indicator, col_major) or None when the dense
-        footprint exceeds ``config.spgemm_plane_cache_bytes`` (or the
-        cache is disabled).
+        (num_parts_tuple, indicator_or_None, col_major) or None when
+        the dense footprint exceeds
+        ``config.spgemm_plane_cache_bytes`` (or the cache is disabled).
 
         ``hilo=True`` stores the exact f64 (hi, lo) f32 pair the Ozaki
-        matmul consumes; the cache keys on it.
+        matmul consumes; the cache keys on it.  ``with_indicator=False``
+        skips the indicator scatter (SpMM never reads it); a later
+        with-indicator request upgrades the cache entry in place.
         """
         from .config import config as _cfg
         from .ops import _xla
@@ -257,12 +259,20 @@ class SparseDeviceMatrix:
             return None
         cache = getattr(self, "_plane_cache", None)
         if cache is not None and cache[0] is data and cache[1] == hilo:
-            return cache[2]
+            num, ind, col_major = cache[2]
+            if ind is not None or not with_indicator:
+                return cache[2]
+            # upgrade: indicator now needed — fall through and rebuild.
         flat, vals, col_major = self.sorted_flat_parts(data)
         shape = (n, m) if col_major else (m, n)
-        parts = _xla.dense_planes_prep(flat, vals, shape=shape,
-                                       hilo=hilo)
-        out = (tuple(parts[:-1]), parts[-1], col_major)
+        parts = _xla.dense_planes_prep(
+            flat, vals, shape=shape, hilo=hilo,
+            with_ind=with_indicator,
+        )
+        if with_indicator:
+            out = (tuple(parts[:-1]), parts[-1], col_major)
+        else:
+            out = (tuple(parts), None, col_major)
         self._plane_cache = (data, hilo, out)
         return out
 
@@ -278,7 +288,8 @@ class SparseDeviceMatrix:
         from .config import config as _cfg
         from .ops import ozaki as _oz
 
-        planes = self.dense_planes(data, hilo=True)
+        planes = self.dense_planes(data, hilo=True,
+                                   with_indicator=False)
         if planes is None:
             return None
         (hi, lo), _ind, _cm = planes

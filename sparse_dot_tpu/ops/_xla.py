@@ -1186,14 +1186,17 @@ def _pattern_from_ind(ind_a, ind_b, a_dim, b_dim, syrk, triangular):
     return mask_flat, jnp.sum(mask_flat.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("shape", "hilo"))
-def dense_planes_prep(flat, vals, shape, hilo):
+@partial(jax.jit, static_argnames=("shape", "hilo", "with_ind"))
+def dense_planes_prep(flat, vals, shape, hilo, with_ind=True):
     """One-time prep for the plane cache: dense numeric operand ((hi,
-    lo) f32 pair when ``hilo``) + bf16 structural indicator."""
+    lo) f32 pair when ``hilo``) + optional bf16 structural indicator
+    (skipped for SpMM consumers, which never read it)."""
     if hilo:
         num = densify_sorted_hilo(flat, vals, shape)
     else:
         num = (densify_sorted(flat, vals, shape),)
+    if not with_ind:
+        return num
     ind = _indicator_sorted(flat, shape[0] * shape[1]).reshape(shape)
     return num + (ind,)
 

@@ -194,7 +194,10 @@ def _real_spmm(A, a_data, b_dev, transpose, alpha=None, beta=None,
         m, k, n, nnz, a_data.dtype
     ):
         use_oz = _xla._ozaki.enabled(a_data.dtype, k, m * k * n)
-        planes = A.dense_planes(a_data, hilo=use_oz)
+        planes = (
+            A.dense_planes(a_data, hilo=use_oz, with_indicator=False)
+            if _seen_before(A) else None
+        )
         if planes is not None:
             a_num, _ind, cm = planes
             # transpose flips which orientation the planes address
@@ -422,13 +425,30 @@ def _is_syrk_pair(A, B, a_data, b_data):
     )
 
 
+def _seen_before(M):
+    """Pre-increment use counter: False on a container's FIRST pass
+    through a plane-cache gate, True after.  One-shot calls therefore
+    run the transient (round-3) kernels — no dense copy is pinned on
+    the container for a matrix that is never reused — and the
+    inspector-executor caches engage from the second use on."""
+    c = getattr(M, "_plane_uses", 0)
+    M._plane_uses = c + 1
+    return c > 0
+
+
 def _planes_for(A, a_data, B, b_data, use_oz):
     """Cached-plane operands for the structural programs, or None.
 
     Returns (a_num, ind_a, a_cm, b_num, ind_b, b_cm, syrk) — the
     inspector-executor steady-state inputs (``formats.dense_planes``) —
-    when every needed operand fits the plane-cache budget; all-or-
-    nothing so each program has exactly one compiled form per shape."""
+    when every needed operand is on its second-or-later use AND fits
+    the plane-cache budget; all-or-nothing so each program has exactly
+    one compiled form per shape."""
+    syrk = _is_syrk_pair(A, B, a_data, b_data)
+    seen_a = _seen_before(A)
+    seen_b = True if syrk else _seen_before(B)
+    if not (seen_a and seen_b):
+        return None
     pa = A.dense_planes(a_data, hilo=use_oz)
     if pa is None:
         return None
@@ -437,7 +457,7 @@ def _planes_for(A, a_data, B, b_data, use_oz):
         sl = A.ozaki_slices(a_data, contract=0 if a_cm else 1)
         if sl is not None:
             a_num = sl  # deepest cache level: pre-extracted slices
-    if _is_syrk_pair(A, B, a_data, b_data):
+    if syrk:
         return a_num, ind_a, a_cm, None, None, False, True
     pb = B.dense_planes(b_data, hilo=use_oz)
     if pb is None:
@@ -474,12 +494,12 @@ def _planar_planes(M, use_oz, role_a=True):
     ):
         return None
     cache = getattr(M, "_planar_plane_cache", None)
-    if (
-        cache is not None
-        and cache[0] is M.data
-        and cache[1] == (use_oz, role_a)
-    ):
-        return cache[2]
+    if cache is None or cache[0] is not M.data:
+        cache = (M.data, {})  # per-role entries (a container can be
+        M._planar_plane_cache = cache  # LHS in one product, RHS in another)
+    entry = cache[1].get((use_oz, role_a))
+    if entry is not None:
+        return entry
     ch_r, ch_i = _value_channels(M, 2)
     flat, ch_r_s, cm = M.sorted_flat_parts(ch_r)
     _, ch_i_s, _ = M.sorted_flat_parts(ch_i)
@@ -506,7 +526,7 @@ def _planar_planes(M, use_oz, role_a=True):
                 b[0], b[1], shape=shape, contract=contract
             )
     out = ((a, b), ind, cm)
-    M._planar_plane_cache = (M.data, (use_oz, role_a), out)
+    cache[1][(use_oz, role_a)] = out
     return out
 
 
@@ -1152,7 +1172,9 @@ def _spgemm_routed(A, B, out_dtype, triangular):
         ar, ai = _value_channels(A, 2)
         use_oz = _xla._ozaki.enabled(ar.dtype, k, m * k * n)
         syrk = _is_syrk_pair_pattern(A, B)
-        pa = _planar_planes(A, use_oz)
+        seen_a = _seen_before(A)
+        seen_b = True if syrk else _seen_before(B)
+        pa = _planar_planes(A, use_oz) if (seen_a and seen_b) else None
         pb = (None if syrk or pa is None
               else _planar_planes(B, use_oz, role_a=False))
         if pa is not None and (syrk or pb is not None):
@@ -1339,7 +1361,17 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         src, dest, cols, indptr = _xla.extract_structure(
             mask_flat, m, n, nnz=nnz
         )
-        _spgemm_struct_cache[key] = (src, dest, cols, indptr)
+        # Cache the extraction structure, budget-gated (the f32 path's
+        # dest is m*n int32 — the dominant term) and keeping only the
+        # array the dtype's value-movement actually uses: src (gather)
+        # for f64, dest (set-scatter) for f32.
+        use_gather = np.dtype(real_dtype) == np.float64
+        vkey = src if use_gather else dest
+        struct_bytes = int(vkey.size) * 4 + (nnz + m + 1) * 8
+        if struct_bytes <= getattr(
+            config, "spgemm_plane_cache_bytes", 1 << 28
+        ):
+            _spgemm_struct_cache[key] = (vkey, cols, indptr)
         vals = dense_dev.reshape(-1)[src]  # one-time value gather
     else:
         if nnz == 0:
@@ -1362,11 +1394,10 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
             # the program does numeric + pattern-count + value movement
             # only.  cols/indptr come straight from the cache.
             a_num, ind_a, a_cm, b_num, ind_b, b_cm, syrk = planes
-            src, dest, cols, indptr = struct
+            vkey, cols, indptr = struct
             use_gather = np.dtype(real_dtype) == np.float64
             vals, count, bad = _xla.spgemm_structural_vals_planes(
-                a_num, ind_a, b_num, ind_b,
-                src if use_gather else dest, prev_bad, a_cm=a_cm,
+                a_num, ind_a, b_num, ind_b, vkey, prev_bad, a_cm=a_cm,
                 b_cm=b_cm, syrk=syrk, triangular=triangular, nnz=nnz,
                 gather=use_gather,
             )

@@ -89,8 +89,6 @@ class TestTransferCacheInvalidation(unittest.TestCase):
         self.assertEqual(d2.shape, self.A.shape[::-1])
 
 
-if __name__ == "__main__":
-    unittest.main()
 
 
 class TestPlaneCache(unittest.TestCase):
@@ -109,7 +107,12 @@ class TestPlaneCache(unittest.TestCase):
         X = sps.random(120, 300, density=0.1, format="csr",
                        dtype=np.float64, random_state=3)
         XT = X.T.tocsc()
+        # First call is transient (use-counter gate: no dense copy is
+        # pinned for one-shot calls); repeats engage the plane cache.
+        C_first = self._product(X, XT)
         C_on = self._product(X, XT)
+        np.testing.assert_array_equal(C_first.indptr, C_on.indptr)
+        np.testing.assert_allclose(C_first.data, C_on.data, atol=1e-12)
         config.spgemm_plane_cache = False
         try:
             C_off = self._product(X, XT)
@@ -144,6 +147,36 @@ class TestPlaneCache(unittest.TestCase):
             np.asarray(C2.data), 2.0 * np.asarray(C1.data), atol=1e-12
         )
 
+    def test_steady_state_uses_planes_and_matches(self):
+        """Three repeated products: the 2nd+ calls run the cached-plane
+        programs (use counter past the gate, planes pinned) and must be
+        numerically identical to the first (transient) call."""
+        from sparse_dot_tpu import formats
+        from sparse_dot_tpu.ops import host as hops
+
+        X = sps.random(150, 200, density=0.1, format="csr",
+                       dtype=np.float64, random_state=13)
+        A = formats.to_device(X)
+        B = A.T
+        outs = [hops.spgemm_device(A, B) for _ in range(3)]
+        self.assertGreaterEqual(getattr(A, "_plane_uses", 0), 2)
+        self.assertIsNotNone(getattr(A, "_plane_cache", None))
+        ref = np.asarray(outs[0].data)
+        for C in outs[1:]:
+            np.testing.assert_array_equal(
+                np.asarray(C.indptr), np.asarray(outs[0].indptr)
+            )
+            np.testing.assert_allclose(np.asarray(C.data), ref,
+                                       atol=1e-12)
+        oracle = (X @ X.T.tocsc())
+        oracle.sort_indices()
+        got = sps.csr_matrix(
+            (np.asarray(outs[-1].data), np.asarray(outs[-1].indices),
+             np.asarray(outs[-1].indptr)), shape=oracle.shape,
+        )
+        np.testing.assert_allclose(got.toarray(), oracle.toarray(),
+                                   atol=1e-10)
+
     def test_budget_gate(self):
         from sparse_dot_tpu import formats
         from sparse_dot_tpu.config import config
@@ -158,3 +191,7 @@ class TestPlaneCache(unittest.TestCase):
         finally:
             config.spgemm_plane_cache_bytes = old
         self.assertIsNotNone(A.dense_planes(hilo=False))
+
+
+if __name__ == "__main__":
+    unittest.main()

@@ -165,8 +165,6 @@ class TestOzakiDispatch(_ForceOzaki):
         np.testing.assert_allclose(res, A @ C, atol=1e-10)
 
 
-if __name__ == "__main__":
-    unittest.main()
 
 
 class TestPlanarSliceCacheRoles(unittest.TestCase):
@@ -196,3 +194,7 @@ class TestPlanarSliceCacheRoles(unittest.TestCase):
             )
         finally:
             config.ozaki = "auto"
+
+
+if __name__ == "__main__":
+    unittest.main()

@@ -138,8 +138,6 @@ class TestShardedOps(unittest.TestCase):
         self.assertLess(res, 1e-10)
 
 
-if __name__ == "__main__":
-    unittest.main()
 
 
 class TestRingSpMM(unittest.TestCase):
@@ -388,3 +386,7 @@ class TestHaloSpMV(unittest.TestCase):
                 self.mesh, A_sh,
                 np.random.default_rng(11).random(n), halo=1,
             )
+
+
+if __name__ == "__main__":
+    unittest.main()

@@ -276,8 +276,6 @@ class TestSparseSolverFGMRES(unittest.TestCase):
         npt.assert_array_almost_equal(x, expect)
 
 
-if __name__ == "__main__":
-    unittest.main()
 
 
 class TestCGMultiRHS(unittest.TestCase):
@@ -322,3 +320,7 @@ class TestCGMultiRHS(unittest.TestCase):
             warnings.simplefilter("error", ConvergenceWarning)
             with self.assertRaises(ConvergenceWarning):
                 cg_mrhs(self.A, self.B, tol=1e-14, maxiter=1)
+
+
+if __name__ == "__main__":
+    unittest.main()
