@@ -472,15 +472,26 @@ def main():
     Ad = formats.to_device(Asp)
     bdev = jnp.asarray(rng.random((10000, 128)))
 
-    spmm_ms = _pipelined(
-        lambda: hops._real_spmm(Ad, Ad.data, bdev, False), s_arr, reps=5
+    # best-of-2 batches: the SoL ratio divides a measured kernel time
+    # by measured probe roofs — both swing with tunnel/chip contention,
+    # so both sides take their best demonstrated run.
+    spmm_ms = min(
+        _pipelined(
+            lambda: hops._real_spmm(Ad, Ad.data, bdev, False), s_arr,
+            reps=5,
+        )
+        for _ in range(2)
     )
     spmm_gflops = 2 * Asp.nnz * 128 / (spmm_ms * 1e-3) / 1e9
 
     Af = formats.to_device(Asp.astype(np.float32))
     bf = bdev.astype(jnp.float32)
-    spmm32_ms = _pipelined(
-        lambda: hops._real_spmm(Af, Af.data, bf, False), s_arr, reps=5
+    spmm32_ms = min(
+        _pipelined(
+            lambda: hops._real_spmm(Af, Af.data, bf, False), s_arr,
+            reps=5,
+        )
+        for _ in range(2)
     )
 
     # f32 SpGEMM (the MXU-native dtype) on the headline workload
