@@ -489,13 +489,20 @@ def dot_product(matrix_a, matrix_b, cast=False, copy=True,
 
 def gram_matrix(matrix, transpose=False, cast=False, dense=False,
                 debug=False, reorder_output=False, out=None,
-                out_scalar=None):
+                out_scalar=None, allow_complex=False):
     """Gram matrix AᵀA (or AAᵀ with ``transpose=True``), upper-triangular.
 
     Mirrors ``gram_matrix_mkl`` (``sparse_dot.py:155-242`` and
     ``_gram_matrix.py:252-335``), including: CSC requires ``cast=True``;
-    complex inputs are rejected; a dense-input product leaves the strict
-    lower triangle untouched; the empty-input shape rule.
+    complex inputs are rejected BY DEFAULT; a dense-input product leaves
+    the strict lower triangle untouched; the empty-input shape rule.
+
+    ``allow_complex=True`` (an extension — the reference rejects complex
+    only to paper over an MKL syrk bug, ``_gram_matrix.py:296-299``;
+    this framework's planar path has no such bug) computes the
+    UNCONJUGATED product AᵀA / AAᵀ for complex sparse input with sparse
+    upper-triangular output, matching ``dot_product(A.T, A)``'s values
+    on the upper triangle.
     """
     _deprecated_debug(debug)
     print_backend_debug()
@@ -517,7 +524,7 @@ def gram_matrix(matrix, transpose=False, cast=False, dense=False,
         )
         return output_func(output_shape, dtype=matrix.dtype)
 
-    if np.iscomplexobj(matrix):
+    if np.iscomplexobj(matrix) and not allow_complex:
         raise ValueError("gram_matrix does not support complex datatypes")
 
     matrix = policy.type_check(matrix, cast=cast)

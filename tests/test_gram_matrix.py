@@ -224,3 +224,37 @@ class TestSypr:
         assert got.shape == (m, m)
         diff = np.abs((got - oracle)).max() if got.nnz + oracle.nnz else 0.0
         assert diff < 1e-9
+
+
+class TestGramComplexExtension:
+    """``allow_complex=True`` — an extension: the reference rejects
+    complex only to paper over an MKL syrk bug
+    (``_gram_matrix.py:296-299``); the planar path here has no such
+    bug.  Default behavior (reject) is reference parity and covered
+    elsewhere."""
+
+    def setup_method(self):
+        X = sps.random(90, 140, density=0.08, format="csr",
+                       random_state=31)
+        self.A = (X + 0.5j * X).astype(np.complex128).tocsr()
+
+    def test_sparse_output(self):
+        from sparse_dot_tpu import gram_matrix
+
+        G = gram_matrix(self.A, allow_complex=True)
+        np_almost_equal(
+            G.toarray(), np.triu((self.A.T @ self.A).toarray())
+        )
+
+    def test_transpose_dense_output(self):
+        from sparse_dot_tpu import gram_matrix
+
+        G = gram_matrix(self.A, transpose=True, dense=True,
+                        allow_complex=True)
+        np_almost_equal(G, np.triu((self.A @ self.A.T).toarray()))
+
+    def test_default_still_rejects(self):
+        from sparse_dot_tpu import gram_matrix
+
+        with pytest.raises(ValueError):
+            gram_matrix(self.A)
