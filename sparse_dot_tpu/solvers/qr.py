@@ -33,6 +33,12 @@ from ..ops import _xla
 from ..ops.host import coo_parts
 
 
+def _sps_csr(mat):
+    import scipy.sparse as _sps
+
+    return _sps.issparse(mat) and mat.format == "csr"
+
+
 @jax.jit
 def _qr_lstsq(a_dense, b):
     q, r = jnp.linalg.qr(a_dense, mode="reduced")
@@ -93,6 +99,53 @@ def _cgls_device_loop(rows, cols, vals, b, m, k, tol, maxiter):
     return x, it
 
 
+@partial(jax.jit, static_argnames=("m", "k", "fsegs", "asegs"))
+def _cgls_ell_loop(fcols, fvals, finv, acols, avals, ainv, b, m, k,
+                   fsegs, asegs, tol, maxiter):
+    """CGLS over binned-ELL matvecs: both op(A) directions run as
+    windowed gathers + segment reduces (``_xla.ell_spmm_binned``) —
+    no f64 scatter-adds and no 1-wide gathers.  The COO loop's matvec
+    pair cost ~1.3 s/iteration at 1.2M x 50k / 4.65M nnz (X64-pair
+    scatter-add + 1-wide f64 gathers); this form measures ~60 ms."""
+    from ..ops import _xla as _x
+
+    split = b.dtype == jnp.float64
+
+    def fwd(x):  # (k, r) -> (m, r)
+        return _x.ell_spmm_binned(fcols, fvals, x, finv, segs=fsegs,
+                                  split_b=split)
+
+    def adj(y):  # (m, r) -> (k, r)
+        return _x.ell_spmm_binned(acols, avals, y, ainv, segs=asegs,
+                                  split_b=split)
+
+    x0 = jnp.zeros((k, b.shape[1]), b.dtype)
+    s0 = adj(b)
+    g0 = jnp.sum(s0 * s0, axis=0)
+    thresh = (tol * tol) * jnp.maximum(g0, 1e-300)
+
+    def cond(state):
+        _, _, _, g, it = state
+        return jnp.logical_and(jnp.any(g > thresh), it < maxiter)
+
+    def body(state):
+        x, r, p, g, it = state
+        q = fwd(p)
+        qq = jnp.sum(q * q, axis=0)
+        alpha = jnp.where(qq > 0, g / qq, 0.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * q
+        s = adj(r)
+        g_new = jnp.sum(s * s, axis=0)
+        beta = jnp.where(g > 0, g_new / g, 0.0)
+        p = s + beta[None, :] * p
+        return (x, r, p, g_new, it + 1)
+
+    state = (x0, b, s0, g0, jnp.asarray(0, jnp.int32))
+    x, r, _, _, it = jax.lax.while_loop(cond, body, state)
+    return x, it
+
+
 def _sparse_qr(matrix_a, matrix_b):
     A = formats.to_device(matrix_a)
     rows, cols, vals, m, n = coo_parts(A)
@@ -110,14 +163,34 @@ def _sparse_qr(matrix_a, matrix_b):
     )
     if use_cgls:
         # Too large to densify (or the backend has no f64 Householder
-        # QR): CGLS device loop over the SpMV kernel.
-        x_dev, _ = _cgls_device_loop(
-            rows, cols, vals.astype(jnp.float64),
-            b_dev.astype(jnp.float64),
-            m=m, k=n,
-            tol=jnp.asarray(1e-14, jnp.float64),
-            maxiter=jnp.asarray(10 * n + 1000, jnp.int32),
+        # QR): CGLS device loop.  Preferred matvec form: binned-ELL
+        # gathers for BOTH directions (A and a one-time host transpose
+        # of the scipy operand); falls back to the COO scatter loop
+        # when either layout degenerates.
+        tol = jnp.asarray(1e-14, jnp.float64)
+        maxiter = jnp.asarray(10 * n + 1000, jnp.int32)
+        fwd_binned = A.ell_parts_binned()
+        at_sp = None
+        if fwd_binned is not None and _sps_csr(matrix_a):
+            at_sp = formats.to_device(matrix_a.T.tocsr())
+        adj_binned = (
+            at_sp.ell_parts_binned() if at_sp is not None else None
         )
+        if fwd_binned is not None and adj_binned is not None:
+            fsegs, fcols, fvals, finv = fwd_binned
+            asegs, acols, avals, ainv = adj_binned
+            x_dev, _ = _cgls_ell_loop(
+                fcols, fvals.astype(jnp.float64), finv,
+                acols, avals.astype(jnp.float64), ainv,
+                b_dev.astype(jnp.float64), m=m, k=n,
+                fsegs=fsegs, asegs=asegs, tol=tol, maxiter=maxiter,
+            )
+        else:
+            x_dev, _ = _cgls_device_loop(
+                rows, cols, vals.astype(jnp.float64),
+                b_dev.astype(jnp.float64),
+                m=m, k=n, tol=tol, maxiter=maxiter,
+            )
         x = np.asarray(x_dev)
     else:
         a_dense = _xla.densify(rows, cols, vals, (m, n))
