@@ -439,8 +439,7 @@ class CGIterativeSparseSolver(IterativeSparseSolver):
         return self.x
 
 
-@partial(jax.jit, static_argnames=("n", "restart"))
-def _fgmres_cycle(rows, cols, vals, b, x, threshold, n, restart):
+def _fgmres_cycle_body(mv, b, x, threshold, n, restart):
     """One restarted-FGMRES (Arnoldi + Givens) cycle, fully on device.
 
     First-party replacement for the reference's MKL RCI FGMRES
@@ -461,9 +460,6 @@ def _fgmres_cycle(rows, cols, vals, b, x, threshold, n, restart):
     convergence test actually needed (<= restart) — the honest inner
     iteration count.
     """
-
-    def mv(v):
-        return _xla.coo_spmv(rows, cols, vals, v, m=n)
 
     r = b - mv(x)
     beta = jnp.linalg.norm(r)
@@ -545,6 +541,51 @@ def _fgmres_cycle(rows, cols, vals, b, x, threshold, n, restart):
 
 
 @partial(jax.jit, static_argnames=("n", "restart"))
+def _fgmres_cycle(rows, cols, vals, b, x, threshold, n, restart):
+    """COO-matvec wrapper of :func:`_fgmres_cycle_body`."""
+
+    def mv(v):
+        return _xla.coo_spmv(rows, cols, vals, v, m=n)
+
+    return _fgmres_cycle_body(mv, b, x, threshold, n, restart)
+
+
+@partial(jax.jit, static_argnames=("n", "restart", "segs"))
+def _fgmres_cycle_ell(cols_flat, vals_flat, invpos, b, x, threshold, n,
+                      restart, segs):
+    """Binned-ELL (windowed gather) matvec wrapper of
+    :func:`_fgmres_cycle_body` — see :func:`_cg_ell_device_loop` for
+    why the gather form beats COO by ~20x at millions of nonzeros."""
+
+    def mv(v):
+        return _xla.ell_spmm_binned(
+            cols_flat, vals_flat, v[:, None], invpos, segs=segs,
+            split_b=True,
+        )[:, 0]
+
+    return _fgmres_cycle_body(mv, b, x, threshold, n, restart)
+
+
+def _fgmres_loop_body(mv_cycle, mv, b, x0, threshold, maxiter):
+    def cond(state):
+        _, resid, it, _, done = state
+        return jnp.logical_and(~done, it < maxiter)
+
+    def body(state):
+        x, _, it, inner, _ = state
+        x, resid, ju = mv_cycle(b, x, threshold)
+        done = resid <= threshold
+        return (x, resid, it + 1, inner + ju, done)
+
+    r0 = b - mv(x0)
+    beta0 = jnp.linalg.norm(r0)
+    state = (x0, beta0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32), beta0 <= threshold)
+    x, resid, it, inner, _ = jax.lax.while_loop(cond, body, state)
+    return x, resid, it, inner
+
+
+@partial(jax.jit, static_argnames=("n", "restart"))
 def _fgmres_device_loop(rows, cols, vals, b, x0, threshold, maxiter, n,
                         restart):
     """Whole restarted-FGMRES solve as one compiled loop: cycles run
@@ -552,24 +593,30 @@ def _fgmres_device_loop(rows, cols, vals, b, x0, threshold, maxiter, n,
     reference's per-iteration RCI crossing).  Returns
     (x, resid, cycles, inner_total)."""
 
-    def cond(state):
-        _, resid, it, _, done = state
-        return jnp.logical_and(~done, it < maxiter)
+    def mv(v):
+        return _xla.coo_spmv(rows, cols, vals, v, m=n)
 
-    def body(state):
-        x, _, it, inner, _ = state
-        x, resid, ju = _fgmres_cycle(
-            rows, cols, vals, b, x, threshold, n=n, restart=restart
-        )
-        done = resid <= threshold
-        return (x, resid, it + 1, inner + ju, done)
+    def mv_cycle(b_, x_, thr_):
+        return _fgmres_cycle_body(mv, b_, x_, thr_, n, restart)
 
-    r0 = b - _xla.coo_spmv(rows, cols, vals, x0, m=n)
-    beta0 = jnp.linalg.norm(r0)
-    state = (x0, beta0, jnp.asarray(0, jnp.int32),
-             jnp.asarray(0, jnp.int32), beta0 <= threshold)
-    x, resid, it, inner, _ = jax.lax.while_loop(cond, body, state)
-    return x, resid, it, inner
+    return _fgmres_loop_body(mv_cycle, mv, b, x0, threshold, maxiter)
+
+
+@partial(jax.jit, static_argnames=("n", "restart", "segs"))
+def _fgmres_ell_device_loop(cols_flat, vals_flat, invpos, b, x0,
+                            threshold, maxiter, n, restart, segs):
+    """:func:`_fgmres_device_loop` with binned-ELL gather matvecs."""
+
+    def mv(v):
+        return _xla.ell_spmm_binned(
+            cols_flat, vals_flat, v[:, None], invpos, segs=segs,
+            split_b=True,
+        )[:, 0]
+
+    def mv_cycle(b_, x_, thr_):
+        return _fgmres_cycle_body(mv, b_, x_, thr_, n, restart)
+
+    return _fgmres_loop_body(mv_cycle, mv, b, x0, threshold, maxiter)
 
 
 class FGMRESIterativeSparseSolver(IterativeSparseSolver):
@@ -594,13 +641,25 @@ class FGMRESIterativeSparseSolver(IterativeSparseSolver):
         return 1e-12 if thr == 0.0 else thr
 
     def solve_iteration(self):
-        rows, cols, vals = self._operator_coo()
-        x, resid, ju = _fgmres_cycle(
-            rows, cols, vals,
-            jnp.asarray(self.b), jnp.asarray(self.x),
-            jnp.asarray(self._threshold_value(), jnp.float64),
-            n=self.n, restart=min(self.restart, self.n),
-        )
+        # Same matvec form as solve() (ELL when the layout admits it)
+        # so stepwise and fused iterates share one summation order.
+        binned = self._operator_ell_binned()
+        if binned is not None:
+            segs, cols_flat, vals_flat, invpos = binned
+            x, resid, ju = _fgmres_cycle_ell(
+                cols_flat, vals_flat.astype(jnp.float64), invpos,
+                jnp.asarray(self.b), jnp.asarray(self.x),
+                jnp.asarray(self._threshold_value(), jnp.float64),
+                n=self.n, restart=min(self.restart, self.n), segs=segs,
+            )
+        else:
+            rows, cols, vals = self._operator_coo()
+            x, resid, ju = _fgmres_cycle(
+                rows, cols, vals,
+                jnp.asarray(self.b), jnp.asarray(self.x),
+                jnp.asarray(self._threshold_value(), jnp.float64),
+                n=self.n, restart=min(self.restart, self.n),
+            )
         self.x = np.asarray(x)
         self.total_inner_iterations += int(ju)
         return float(resid) <= self._threshold_value()
@@ -615,14 +674,25 @@ class FGMRESIterativeSparseSolver(IterativeSparseSolver):
             return self.x
 
         thr = self._threshold_value()
-        rows, cols, vals = self._operator_coo()
-        x, resid, cycles, inner = _fgmres_device_loop(
-            rows, cols, vals,
-            jnp.asarray(self.b), jnp.asarray(self.x),
-            jnp.asarray(thr, jnp.float64),
-            jnp.asarray(self.max_iter, jnp.int32),
-            n=self.n, restart=min(self.restart, self.n),
-        )
+        binned = self._operator_ell_binned()
+        if binned is not None:
+            segs, cols_flat, vals_flat, invpos = binned
+            x, resid, cycles, inner = _fgmres_ell_device_loop(
+                cols_flat, vals_flat.astype(jnp.float64), invpos,
+                jnp.asarray(self.b), jnp.asarray(self.x),
+                jnp.asarray(thr, jnp.float64),
+                jnp.asarray(self.max_iter, jnp.int32),
+                n=self.n, restart=min(self.restart, self.n), segs=segs,
+            )
+        else:
+            rows, cols, vals = self._operator_coo()
+            x, resid, cycles, inner = _fgmres_device_loop(
+                rows, cols, vals,
+                jnp.asarray(self.b), jnp.asarray(self.x),
+                jnp.asarray(thr, jnp.float64),
+                jnp.asarray(self.max_iter, jnp.int32),
+                n=self.n, restart=min(self.restart, self.n),
+            )
         self.x = np.asarray(x)
         self.current_iter = int(cycles)
         self.total_inner_iterations = int(inner)

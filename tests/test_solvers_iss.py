@@ -322,5 +322,93 @@ class TestCGMultiRHS(unittest.TestCase):
                 cg_mrhs(self.A, self.B, tol=1e-14, maxiter=1)
 
 
+
+
+class TestEllSolverLoops(unittest.TestCase):
+    """Non-degenerate binned-ELL layouts so the gather-form solver
+    loops (round 4) actually run on the CPU suite — the 8x8 protocol
+    fixtures degenerate to the COO fallback (pad-ratio gate), which is
+    how a missing-argument bug in the ELL FGMRES path slipped past the
+    suite and had to be caught by the TPU verify drive."""
+
+    def setUp(self):
+        n = 2000
+        rng = np.random.default_rng(17)
+        nnz = 40_000
+        M = sps.csr_matrix(
+            (rng.standard_normal(nnz),
+             (rng.integers(0, n, nnz), rng.integers(0, n, nnz))),
+            shape=(n, n),
+        )
+        M.sum_duplicates()
+        self.A = (0.05 * (M + M.T) + 20.0 * sps.identity(n)).tocsr()
+        self.n = n
+        self.x_true = rng.standard_normal(n)
+        self.b = self.A @ self.x_true
+
+    def test_layout_engages(self):
+        from sparse_dot_tpu import formats
+
+        Ad = formats.CSR.from_scipy(self.A)
+        self.assertIsNotNone(Ad.ell_parts_binned())
+
+    def test_cg_ell(self):
+        from sparse_dot_tpu import cg
+
+        x, code = cg(self.A, self.b, tol=1e-12)
+        self.assertEqual(code, 0)
+        npt.assert_allclose(x, self.x_true, atol=1e-8)
+
+    def test_fgmres_ell(self):
+        from sparse_dot_tpu import fgmres
+
+        x, code = fgmres(self.A, self.b, tol=1e-12)
+        self.assertEqual(code, 0)
+        npt.assert_allclose(x, self.x_true, atol=1e-7)
+
+    def test_fgmres_stepwise_matches_fused_ell(self):
+        x_f = None
+        with FGMRESIterativeSparseSolver(
+            self.A, self.b, r_tol=1e-10
+        ) as fused:
+            x_f = fused.solve()
+            cycles = fused.current_iter
+        with FGMRESIterativeSparseSolver(
+            self.A, self.b, r_tol=1e-10
+        ) as stepwise:
+            for _ in stepwise:
+                pass
+            x_s = stepwise.x
+            s_cycles = stepwise.current_iter
+        self.assertEqual(cycles, s_cycles)
+        npt.assert_array_almost_equal(x_f, x_s, decimal=10)
+
+    def test_qr_cgls_ell(self):
+        from sparse_dot_tpu import sparse_qr_solve_mkl
+        from sparse_dot_tpu.solvers import qr as _qr
+
+        old = _qr._QR_DENSIFY_BUDGET
+        _qr._QR_DENSIFY_BUDGET = 1  # force the CGLS route
+        try:
+            m, k = 3000, 500
+            rng = np.random.default_rng(23)
+            nnz = 30_000
+            A = sps.csr_matrix(
+                (rng.standard_normal(nnz),
+                 (rng.integers(0, m, nnz), rng.integers(0, k, nnz))),
+                shape=(m, k),
+            )
+            A = A + sps.vstack(
+                [4.0 * sps.identity(k), sps.csr_matrix((m - k, k))]
+            ).tocsr()
+            A.sum_duplicates()
+            xt = rng.standard_normal(k)
+            b = A @ xt
+            x = sparse_qr_solve_mkl(A.tocsr(), b)
+            npt.assert_allclose(x, xt, atol=1e-8)
+        finally:
+            _qr._QR_DENSIFY_BUDGET = old
+
+
 if __name__ == "__main__":
     unittest.main()
