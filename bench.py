@@ -678,6 +678,11 @@ def main():
     x5 = sdt.sparse_qr_solve_mkl(A5, b5)
     qr_1m_s = time.perf_counter() - t0
     qr_1m_xerr = float(np.abs(x5 - x5_true).max())
+    # warm repeat: layouts + compile cached; the CGLS loop itself
+    # (binned-ELL gather matvecs since r4) is ~4 s at this scale.
+    t0 = time.perf_counter()
+    sdt.sparse_qr_solve_mkl(A5, b5)
+    qr_1m_warm_s = time.perf_counter() - t0
 
     # --- multi-chip scaling table (virtual mesh; see helper doc) ------
     scaling = _scaling_table()
@@ -717,6 +722,7 @@ def main():
             "mxu_bf16_tflops": round(mxu_tflops, 1),
             "scatter_rate_meps": round(scatter_rate / 1e6, 1),
             "qr_1m_chip_s": round(qr_1m_s, 1),
+            "qr_1m_chip_warm_s": round(qr_1m_warm_s, 1),
             "qr_1m_chip_xerr": qr_1m_xerr,
             "scaling": scaling,
             "spgemm_blocked_ms": round(spgemm_blocked_ms, 3),
