@@ -53,22 +53,10 @@ def _as_container(A):
     return None
 
 
-@partial(jax.jit, static_argnames=("segs",))
-def _cg_ell_device_loop(cols_flat, vals_flat, invpos, b, x0, threshold,
-                        maxiter, segs):
-    """:func:`_cg_device_loop` with the matvec on the binned-ELL
-    windowed-gather kernel instead of the COO scatter-add (which costs
-    ~1.3 s/iteration at millions of nonzeros in f64 — X64-pair
-    scatter-adds plus 1-wide gathers).  Identical step order and
-    convergence test."""
-    split = vals_flat.dtype == jnp.float64
-
-    def mv(v):
-        return _xla.ell_spmm_binned(
-            cols_flat, vals_flat, v[:, None], invpos, segs=segs,
-            split_b=split,
-        )[:, 0]
-
+def _cg_loop_body(mv, b, x0, threshold, maxiter):
+    """Shared CG state machine (see :func:`_cg_device_loop` for the
+    step-order/convergence contract); ``mv`` supplies the matvec —
+    COO or binned-ELL."""
     r0 = b - mv(x0)
     rs0 = jnp.vdot(r0, r0)
 
@@ -93,6 +81,25 @@ def _cg_ell_device_loop(cols_flat, vals_flat, invpos, b, x0, threshold,
              jnp.asarray(False))
     x, _, _, rs, it, _ = jax.lax.while_loop(cond, body, state)
     return x, rs, it
+
+
+@partial(jax.jit, static_argnames=("segs",))
+def _cg_ell_device_loop(cols_flat, vals_flat, invpos, b, x0, threshold,
+                        maxiter, segs):
+    """:func:`_cg_device_loop` with the matvec on the binned-ELL
+    windowed-gather kernel instead of the COO scatter-add (which costs
+    ~1.3 s/iteration at millions of nonzeros in f64 — X64-pair
+    scatter-adds plus 1-wide gathers).  Identical step order and
+    convergence test."""
+    split = vals_flat.dtype == jnp.float64
+
+    def mv(v):
+        return _xla.ell_spmm_binned(
+            cols_flat, vals_flat, v[:, None], invpos, segs=segs,
+            split_b=split,
+        )[:, 0]
+
+    return _cg_loop_body(mv, b, x0, threshold, maxiter)
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -112,30 +119,7 @@ def _cg_device_loop(rows, cols, vals, b, x0, threshold, maxiter, n):
     def mv(v):
         return _xla.coo_spmv(rows, cols, vals, v, m=n)
 
-    r0 = b - mv(x0)
-    rs0 = jnp.vdot(r0, r0)
-
-    def cond(state):
-        _, _, _, rs, it, done = state
-        return jnp.logical_and(~done, it < maxiter)
-
-    def body(state):
-        x, r, p, rs, it, _ = state
-        sp = mv(p)
-        denom = jnp.vdot(p, sp)
-        alpha = jnp.where(denom != 0, rs / denom, 0.0)
-        x = x + alpha * p
-        r = r - alpha * sp
-        rs_new = jnp.vdot(r, r)
-        beta = jnp.where(rs != 0, rs_new / rs, 0.0)
-        p = r + beta * p
-        done = jnp.sqrt(rs_new) <= threshold
-        return (x, r, p, rs_new, it + 1, done)
-
-    state = (x0, r0, r0, rs0, jnp.asarray(0, jnp.int32),
-             jnp.asarray(False))
-    x, _, _, rs, it, _ = jax.lax.while_loop(cond, body, state)
-    return x, rs, it
+    return _cg_loop_body(mv, b, x0, threshold, maxiter)
 
 
 class IterativeSparseSolver:
@@ -250,7 +234,13 @@ class IterativeSparseSolver:
     def _operator_ell_binned(self):
         """Binned-ELL layout of the operator for the gather-form device
         loops, or None (symmetric descriptor — the symmetrized operator
-        is COO-only — or non-CSR container, or a degenerate layout)."""
+        is COO-only — or non-CSR container, a degenerate layout, or the
+        ``config.ell_binned`` kill-switch, which must disable the
+        binned kernel here just like on the SpMM path)."""
+        from ..config import config as _cfg
+
+        if not getattr(_cfg, "ell_binned", True):
+            return None
         if self.matrix_A_descr[0] == SPARSE_MATRIX_TYPE_SYMMETRIC:
             return None
         if not isinstance(self.A, formats.CSR):

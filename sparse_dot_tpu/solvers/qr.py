@@ -51,77 +51,13 @@ def _qr_lstsq(a_dense, b):
 _QR_DENSIFY_BUDGET = 2 << 30
 
 
-@partial(jax.jit, static_argnames=("m", "k"))
-def _cgls_device_loop(rows, cols, vals, b, m, k, tol, maxiter):
-    """Batched CGLS: min ||A X - B|| column-by-column in one compiled
-    ``lax.while_loop`` (per-column step sizes; a column that has
-    converged takes zero-length steps).  This is the large-m route of
-    the reference's multifrontal QR (``_sparse_qr_solver.py:61-101``) —
-    the factorization never materializes, only SpMV traffic."""
-
-    def fwd(x):  # (k, r) -> (m, r)
-        prods = vals[:, None] * x[cols, :]
-        return jnp.zeros((m, x.shape[1]), vals.dtype).at[rows].add(
-            prods, mode="drop"
-        )
-
-    def adj(y):  # (m, r) -> (k, r)
-        prods = vals[:, None] * y[rows, :]
-        return jnp.zeros((k, y.shape[1]), vals.dtype).at[cols].add(
-            prods, mode="drop"
-        )
-
+def _cgls_loop_body(fwd, adj, b, k, tol, maxiter):
+    """Shared CGLS state machine: min ||A X - B|| column-by-column with
+    per-column step sizes (a converged column takes zero-length steps).
+    ``fwd``/``adj`` supply op(A)/op(A)^T — COO or binned-ELL."""
     x0 = jnp.zeros((k, b.shape[1]), b.dtype)
-    r0 = b  # residual with x = 0
-    s0 = adj(r0)
+    s0 = adj(b)  # residual with x = 0 is b itself
     g0 = jnp.sum(s0 * s0, axis=0)  # per-column gradient norms
-    thresh = (tol * tol) * jnp.maximum(g0, 1e-300)
-
-    def cond(state):
-        _, _, _, g, it = state
-        return jnp.logical_and(jnp.any(g > thresh), it < maxiter)
-
-    def body(state):
-        x, r, p, g, it = state
-        q = fwd(p)
-        qq = jnp.sum(q * q, axis=0)
-        alpha = jnp.where(qq > 0, g / qq, 0.0)
-        x = x + alpha[None, :] * p
-        r = r - alpha[None, :] * q
-        s = adj(r)
-        g_new = jnp.sum(s * s, axis=0)
-        beta = jnp.where(g > 0, g_new / g, 0.0)
-        p = s + beta[None, :] * p
-        return (x, r, p, g_new, it + 1)
-
-    state = (x0, r0, s0, g0, jnp.asarray(0, jnp.int32))
-    x, r, _, _, it = jax.lax.while_loop(cond, body, state)
-    return x, it
-
-
-@partial(jax.jit, static_argnames=("m", "k", "fsegs", "asegs"))
-def _cgls_ell_loop(fcols, fvals, finv, acols, avals, ainv, b, m, k,
-                   fsegs, asegs, tol, maxiter):
-    """CGLS over binned-ELL matvecs: both op(A) directions run as
-    windowed gathers + segment reduces (``_xla.ell_spmm_binned``) —
-    no f64 scatter-adds and no 1-wide gathers.  The COO loop's matvec
-    pair cost ~1.3 s/iteration at 1.2M x 50k / 4.65M nnz (X64-pair
-    scatter-add + 1-wide f64 gathers); this form measures ~60 ms."""
-    from ..ops import _xla as _x
-
-    split = b.dtype == jnp.float64
-
-    def fwd(x):  # (k, r) -> (m, r)
-        return _x.ell_spmm_binned(fcols, fvals, x, finv, segs=fsegs,
-                                  split_b=split)
-
-    def adj(y):  # (m, r) -> (k, r)
-        return _x.ell_spmm_binned(acols, avals, y, ainv, segs=asegs,
-                                  split_b=split)
-
-    x0 = jnp.zeros((k, b.shape[1]), b.dtype)
-    s0 = adj(b)
-    g0 = jnp.sum(s0 * s0, axis=0)
     thresh = (tol * tol) * jnp.maximum(g0, 1e-300)
 
     def cond(state):
@@ -146,6 +82,51 @@ def _cgls_ell_loop(fcols, fvals, finv, acols, avals, ainv, b, m, k,
     return x, it
 
 
+@partial(jax.jit, static_argnames=("m", "k"))
+def _cgls_device_loop(rows, cols, vals, b, m, k, tol, maxiter):
+    """COO-matvec CGLS (scatter-add form — the fallback when the
+    binned-ELL layout degenerates).  This is the large-m route of the
+    reference's multifrontal QR (``_sparse_qr_solver.py:61-101``) —
+    the factorization never materializes, only SpMV traffic."""
+
+    def fwd(x):  # (k, r) -> (m, r)
+        prods = vals[:, None] * x[cols, :]
+        return jnp.zeros((m, x.shape[1]), vals.dtype).at[rows].add(
+            prods, mode="drop"
+        )
+
+    def adj(y):  # (m, r) -> (k, r)
+        prods = vals[:, None] * y[rows, :]
+        return jnp.zeros((k, y.shape[1]), vals.dtype).at[cols].add(
+            prods, mode="drop"
+        )
+
+    return _cgls_loop_body(fwd, adj, b, k, tol, maxiter)
+
+
+@partial(jax.jit, static_argnames=("m", "k", "fsegs", "asegs"))
+def _cgls_ell_loop(fcols, fvals, finv, acols, avals, ainv, b, m, k,
+                   fsegs, asegs, tol, maxiter):
+    """CGLS over binned-ELL matvecs: both op(A) directions run as
+    windowed gathers + segment reduces (``_xla.ell_spmm_binned``) —
+    no f64 scatter-adds and no 1-wide gathers.  The COO loop's matvec
+    pair cost ~1.3 s/iteration at 1.2M x 50k / 4.65M nnz (X64-pair
+    scatter-add + 1-wide f64 gathers); this form measures ~60 ms."""
+    from ..ops import _xla as _x
+
+    split = b.dtype == jnp.float64
+
+    def fwd(x):  # (k, r) -> (m, r)
+        return _x.ell_spmm_binned(fcols, fvals, x, finv, segs=fsegs,
+                                  split_b=split)
+
+    def adj(y):  # (m, r) -> (k, r)
+        return _x.ell_spmm_binned(acols, avals, y, ainv, segs=asegs,
+                                  split_b=split)
+
+    return _cgls_loop_body(fwd, adj, b, k, tol, maxiter)
+
+
 def _sparse_qr(matrix_a, matrix_b):
     A = formats.to_device(matrix_a)
     rows, cols, vals, m, n = coo_parts(A)
@@ -167,15 +148,25 @@ def _sparse_qr(matrix_a, matrix_b):
         # gathers for BOTH directions (A and a one-time host transpose
         # of the scipy operand); falls back to the COO scatter loop
         # when either layout degenerates.
+        from ..config import config as _cfg
+
         tol = jnp.asarray(1e-14, jnp.float64)
         maxiter = jnp.asarray(10 * n + 1000, jnp.int32)
-        fwd_binned = A.ell_parts_binned()
-        at_sp = None
-        if fwd_binned is not None and _sps_csr(matrix_a):
-            at_sp = formats.to_device(matrix_a.T.tocsr())
-        adj_binned = (
-            at_sp.ell_parts_binned() if at_sp is not None else None
+        use_ell = (
+            getattr(_cfg, "ell_binned", True)
+            and isinstance(A, formats.CSR)
         )
+        fwd_binned = A.ell_parts_binned() if use_ell else None
+        adj_binned = None
+        if fwd_binned is not None and _sps_csr(matrix_a):
+            # Adjoint layout memoized on the (transfer-cache-stable)
+            # container: the host transpose + upload + repack would
+            # otherwise re-run on every solve.
+            at_dev = getattr(A, "_qr_adjoint", None)
+            if at_dev is None:
+                at_dev = formats.to_device(matrix_a.T.tocsr())
+                A._qr_adjoint = at_dev
+            adj_binned = at_dev.ell_parts_binned()
         if fwd_binned is not None and adj_binned is not None:
             fsegs, fcols, fvals, finv = fwd_binned
             asegs, acols, avals, ainv = adj_binned

@@ -410,5 +410,36 @@ class TestEllSolverLoops(unittest.TestCase):
             _qr._QR_DENSIFY_BUDGET = old
 
 
+
+
+class TestEllKillSwitch(unittest.TestCase):
+    """config.ell_binned = False must force the COO fallback in the
+    solver loops (the same escape hatch the SpMM path honors)."""
+
+    def test_cg_coo_fallback(self):
+        from sparse_dot_tpu import cg
+        from sparse_dot_tpu.config import config
+
+        n = 1500
+        rng = np.random.default_rng(19)
+        nnz = 30_000
+        M = sps.csr_matrix(
+            (rng.standard_normal(nnz),
+             (rng.integers(0, n, nnz), rng.integers(0, n, nnz))),
+            shape=(n, n),
+        )
+        M.sum_duplicates()
+        A = (0.05 * (M + M.T) + 20.0 * sps.identity(n)).tocsr()
+        xt = rng.standard_normal(n)
+        b = A @ xt
+        config.ell_binned = False
+        try:
+            x, code = cg(A, b, tol=1e-12)
+        finally:
+            config.ell_binned = True
+        self.assertEqual(code, 0)
+        npt.assert_allclose(x, xt, atol=1e-8)
+
+
 if __name__ == "__main__":
     unittest.main()
