@@ -102,6 +102,48 @@ def _cg_ell_device_loop(cols_flat, vals_flat, invpos, b, x0, threshold,
     return _cg_loop_body(mv, b, x0, threshold, maxiter)
 
 
+@partial(jax.jit, static_argnames=("segs",))
+def _cg_mrhs_ell_loop(cols_flat, vals_flat, invpos, B, X0, thresholds,
+                      maxiter, segs):
+    """Multi-RHS CG on ONE binned-ELL product per step: all columns
+    advance together with per-column scalars; a converged column is
+    frozen (zero-length steps, search direction untouched), so each
+    column's iterates match its single-RHS solve exactly.  Returns
+    (X, final squared residual norms)."""
+    split = vals_flat.dtype == jnp.float64
+
+    def mv(V):
+        return _xla.ell_spmm_binned(
+            cols_flat, vals_flat, V, invpos, segs=segs, split_b=split,
+        )
+
+    R0 = B - mv(X0)
+    rs0 = jnp.sum(R0 * R0, axis=0)
+    thr2 = thresholds * thresholds
+
+    def cond(state):
+        _, _, _, rs, it = state
+        return jnp.logical_and(jnp.any(rs > thr2), it < maxiter)
+
+    def body(state):
+        X, R, P, rs, it = state
+        active = rs > thr2
+        SP = mv(P)
+        denom = jnp.sum(P * SP, axis=0)
+        alpha = jnp.where(active & (denom != 0), rs / denom, 0.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * SP
+        rs_new = jnp.sum(R * R, axis=0)
+        beta = jnp.where(active & (rs != 0), rs_new / rs, 0.0)
+        P = jnp.where(active[None, :], R + beta[None, :] * P, P)
+        rs = jnp.where(active, rs_new, rs)
+        return (X, R, P, rs, it + 1)
+
+    state = (X0, R0, R0, rs0, jnp.asarray(0, jnp.int32))
+    X, _, _, rs, _ = jax.lax.while_loop(cond, body, state)
+    return X, rs
+
+
 @partial(jax.jit, static_argnames=("n",))
 def _cg_device_loop(rows, cols, vals, b, x0, threshold, maxiter, n):
     """Whole CG solve as one compiled ``lax.while_loop`` — zero host
@@ -765,19 +807,34 @@ def cg_mrhs(A, B, X0=None, tol=1e-05, maxiter=DEFAULT_MAX_ITER, M=None,
     )
     thresholds = np.where(thresholds == 0.0, 1e-12, thresholds)
 
-    rows, cols, vals = _coo_of_container(Ac)
-    batched = jax.vmap(
-        lambda r, c, v, b, x0, thr, mi: _cg_device_loop(
-            r, c, v, b, x0, thr, mi, n=n
-        ),
-        in_axes=(None, None, None, 1, 1, 0, None),
-        out_axes=(1, 0, 0),
+    binned = (
+        Ac.ell_parts_binned()
+        if getattr(config, "ell_binned", True)
+        and isinstance(Ac, formats.CSR)
+        else None
     )
-    X, rs, _its = batched(
-        rows, cols, vals, jnp.asarray(B_np), jnp.asarray(X0_np),
-        jnp.asarray(thresholds, jnp.float64),
-        jnp.asarray(maxiter, jnp.int32),
-    )
+    if binned is not None:
+        segs, cols_flat, vals_flat, invpos = binned
+        X, rs = _cg_mrhs_ell_loop(
+            cols_flat, vals_flat.astype(jnp.float64), invpos,
+            jnp.asarray(B_np), jnp.asarray(X0_np),
+            jnp.asarray(thresholds, jnp.float64),
+            jnp.asarray(maxiter, jnp.int32), segs=segs,
+        )
+    else:
+        rows, cols, vals = _coo_of_container(Ac)
+        batched = jax.vmap(
+            lambda r, c, v, b, x0, thr, mi: _cg_device_loop(
+                r, c, v, b, x0, thr, mi, n=n
+            ),
+            in_axes=(None, None, None, 1, 1, 0, None),
+            out_axes=(1, 0, 0),
+        )
+        X, rs, _its = batched(
+            rows, cols, vals, jnp.asarray(B_np), jnp.asarray(X0_np),
+            jnp.asarray(thresholds, jnp.float64),
+            jnp.asarray(maxiter, jnp.int32),
+        )
     X_np = np.asarray(X)
     res = np.sqrt(np.asarray(rs))
     codes = np.where(res <= thresholds, 0, -1).astype(np.int32)
