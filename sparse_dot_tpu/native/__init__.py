@@ -51,13 +51,6 @@ def _load():
     lib.csr_shard_rows_f64.restype = None
     lib.csr_shard_nnz_pad.argtypes = [p_i64, i64, i64, i64]
     lib.csr_shard_nnz_pad.restype = i64
-    lib.csr_to_ell_f64.argtypes = [p_i64, p_i32, p_f64, i64, i64,
-                                   p_i32, p_f64]
-    lib.csr_to_ell_f64.restype = i64
-    lib.csr_max_row_nnz.argtypes = [p_i64, i64]
-    lib.csr_max_row_nnz.restype = i64
-    lib.expand_indptr.argtypes = [p_i64, i64, p_i32]
-    lib.expand_indptr.restype = None
 
     _lib = lib
     return lib
@@ -119,47 +112,3 @@ def csr_shard_rows(indptr, indices, data, m, m_local, n_shards):
     return rows, cols, vals
 
 
-def csr_to_ell(indptr, indices, data, m, slots=None):
-    """CSR -> padded ELL (cols, vals) of shape (m, slots)."""
-    lib = _load()
-    indptr = _as_i64(indptr)
-    if slots is None:
-        if lib:
-            slots = int(lib.csr_max_row_nnz(indptr, m))
-        else:
-            slots = int(np.diff(indptr).max(initial=0))
-        slots = max(slots, 1)
-    if lib and data.dtype == np.float64:
-        cols = np.empty((m, slots), np.int32)
-        vals = np.empty((m, slots), np.float64)
-        rc = lib.csr_to_ell_f64(
-            indptr, _as_i32(indices), np.ascontiguousarray(data),
-            m, slots, cols, vals,
-        )
-        if rc == 0:
-            return cols, vals
-    # NumPy fallback
-    counts = np.diff(indptr)
-    if counts.size and counts.max(initial=0) > slots:
-        raise ValueError("slots smaller than max row nnz")
-    cols = np.zeros((m, slots), np.int32)
-    vals = np.zeros((m, slots), data.dtype)
-    pos = np.arange(len(indices)) - np.repeat(indptr[:-1], counts)
-    rows = np.repeat(np.arange(m), counts)
-    cols[rows, pos] = indices
-    vals[rows, pos] = data
-    return cols, vals
-
-
-def expand_indptr_host(indptr, nnz):
-    """Host-side indptr expansion."""
-    lib = _load()
-    indptr = _as_i64(indptr)
-    m = len(indptr) - 1
-    if lib:
-        out = np.empty(nnz, np.int32)
-        lib.expand_indptr(indptr, m, out)
-        return out
-    return np.repeat(
-        np.arange(m, dtype=np.int32), np.diff(indptr)
-    )

@@ -8,12 +8,6 @@
 //   * csr_shard_rows:   row-partition a CSR matrix into S uniform
 //                       padded COO shards (the ShardedCSR layout) in
 //                       one pass, no per-shard scipy slicing.
-//   * csr_to_ell:       pad CSR rows to a fixed slot count (ELL) for
-//                       gather-style TPU kernels.
-//   * checksum_f64/f32: strided content fingerprints for the
-//                       host->device transfer cache.
-//   * expand_indptr:    indptr -> per-nnz row ids (host-side analog of
-//                       the device expansion).
 //
 // Built as a plain shared library (no pybind11 in the image); bound via
 // ctypes in native/__init__.py with a NumPy fallback when the .so is
@@ -64,56 +58,6 @@ int64_t csr_shard_nnz_pad(
     pad = std::max(pad, indptr[row_hi] - indptr[row_lo]);
   }
   return pad;
-}
-
-// CSR -> ELL: pad every row to `slots` entries.  Pad cols point at 0
-// with zero values.  Rows longer than `slots` are an error (-1).
-int64_t csr_to_ell_f64(
-    const int64_t* indptr, const int32_t* indices, const double* data,
-    int64_t m, int64_t slots,
-    int32_t* out_cols, double* out_vals) {
-  for (int64_t r = 0; r < m; ++r) {
-    const int64_t lo = indptr[r], hi = indptr[r + 1];
-    if (hi - lo > slots) return -1;
-    int64_t w = r * slots;
-    for (int64_t p = lo; p < hi; ++p, ++w) {
-      out_cols[w] = indices[p];
-      out_vals[w] = data[p];
-    }
-    for (; w < (r + 1) * slots; ++w) {
-      out_cols[w] = 0;
-      out_vals[w] = 0.0;
-    }
-  }
-  return 0;
-}
-
-int64_t csr_max_row_nnz(const int64_t* indptr, int64_t m) {
-  int64_t mx = 0;
-  for (int64_t r = 0; r < m; ++r)
-    mx = std::max(mx, indptr[r + 1] - indptr[r]);
-  return mx;
-}
-
-// indptr -> per-nnz compressed-axis ids.
-void expand_indptr(const int64_t* indptr, int64_t m, int32_t* out_rows) {
-  for (int64_t r = 0; r < m; ++r) {
-    for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p)
-      out_rows[p] = static_cast<int32_t>(r);
-  }
-}
-
-// Strided checksum (content fingerprint) over a double buffer.
-double checksum_f64(const double* x, int64_t n, int64_t stride) {
-  double acc = 0.0;
-  for (int64_t i = 0; i < n; i += stride) acc += x[i] * (1.0 + (i & 7));
-  return acc;
-}
-
-float checksum_f32(const float* x, int64_t n, int64_t stride) {
-  float acc = 0.0f;
-  for (int64_t i = 0; i < n; i += stride) acc += x[i] * (1.0f + (i & 7));
-  return acc;
 }
 
 }  // extern "C"

@@ -1348,7 +1348,12 @@ def extract_structure(mask_flat, m, n, nnz):
     inverse scatter destinations (``dest``), and the CSR cols/indptr.
     All of it depends only on the operand patterns, so the driver
     caches it per structure-token pair and steady-state extraction
-    reduces to pure value movement."""
+    reduces to pure value movement.
+
+    Note ``src`` is used by the f64 hi|lo pair gather and ``dest`` by
+    the exact sorted set-scatter; the host driver keeps only the one
+    its chosen movement path needs (ops/host.py spgemm structural
+    cache)."""
     pos = prefix_sum(mask_flat) - 1
     dest = jnp.where(mask_flat, pos, nnz)
     iota_flat = jnp.arange(m * n, dtype=jnp.int32)
@@ -1388,7 +1393,16 @@ def spgemm_structural_vals_planes(a_num, ind_a, b_num, ind_b, src_dest,
     vs the 8.3 ms full extract on the headline,
     experiments/exp_r4_extract_cache.py); ``gather=False`` uses one
     cached-dest sorted set-scatter (the f32 form — a 1-wide f32 gather
-    is the slowest primitive, the single scatter is cheaper).
+    is the slowest primitive, the single scatter is cheaper — and the
+    scatter moves values EXACTLY in their native dtype).
+
+    RANGE CONTRACT of ``gather=True``: the hi|lo pair is a plain f32
+    split, so product values with |x| > ~3.4e38 saturate to inf,
+    |x| below the f32 subnormal floor flush to 0, and everything
+    re-rounds at ~2^-49 relative.  The host driver therefore only
+    selects ``gather=True`` when the Ozaki policy gate is on (same
+    f32-range assumption on the inputs); otherwise it uses the exact
+    scatter.
 
     Returns (vals, count, bad)."""
     c, mask_flat, count = spgemm_structural_planes(
@@ -1762,6 +1776,24 @@ def esc_pack_a(rows, bstart, offs, chans, chan64):
 
 
 @partial(jax.jit, static_argnames=("chan64",))
+def esc_pack_a_vals(chans, chan64):
+    """Value-only columns of the packed-A rows: (nnz_pad, nchan*cw)
+    f32.  The structure columns ([local_row, bstart, offset]) are
+    built once per block structure and cached on the host plan; each
+    call only re-packs the values and concatenates — so the steady
+    state uploads NO per-block planning arrays (the round-4 1M x 1M
+    profile lost ~0.5 s/call re-uploading perm/offsets/bstart)."""
+    cols_ = []
+    for c in chans:
+        if chan64:
+            h, l = _ozaki.hilo(c)
+            cols_ += [h, l]
+        else:
+            cols_ += [c.astype(jnp.float32)]
+    return jnp.stack(cols_, axis=1)
+
+
+@partial(jax.jit, static_argnames=("chan64",))
 def esc_pack_b(b_indices, b_chans, chan64):
     """Per-B-nonzero packed rows: [column, value channels] as f32."""
     cols_ = [b_indices.astype(jnp.float32)]
@@ -1800,8 +1832,11 @@ def esc_spgemm_block_packed(a_pack, offsets, e_total, b_pack,
         fields must be < 2^24 (exact in f32) — the driver gates on it.
     b_pack : (b_nnz, 1 + nchan*cw) f32 — [column, value channels].
 
-    Returns ([row_counts | cols] i32, vals..., count) like
-    :func:`esc_spgemm_block`.
+    First-return encoding matches :func:`esc_spgemm_block` and depends
+    on ``key64``: raw compacted ``row * n + col`` i32 keys when
+    ``key64=False`` (the common case), or ``[row_counts | cols]`` i32
+    when ``key64=True``.  The host flush decodes by its ``bkey64``
+    flag — see :func:`_esc_sort_compress`.
     """
     kdt = jnp.int64 if key64 else jnp.int32
     nnz_pad = a_pack.shape[0]
@@ -1864,10 +1899,15 @@ def esc_spgemm_block(a_rows, a_cols, a_vals, offsets, e_total,
     dup_passes : ceil(log2(max duplicates of one key)) — host-known
         bound: the max nnz of any A row in the block.
 
-    Returns ([row_counts | cols] i32, vals..., count): one int32
-    buffer holding the per-local-row entry histogram (mb) followed by
-    the per-entry columns in (row, col) sorted order, the per-channel
-    summed values, and the live count.
+    Returns (keybuf i32, vals..., count).  The first buffer's encoding
+    depends on ``key64`` (the host flush decodes by its ``bkey64``
+    flag): with ``key64=False`` (the common case) it is the raw
+    compacted ``row * n + col`` i32 keys in sorted order; with
+    ``key64=True`` it is ``[row_counts | cols]`` — the per-local-row
+    entry histogram (mb slots) followed by the per-entry columns in
+    (row, col) sorted order.  ``vals...`` are the per-channel summed
+    values and ``count`` the live entry count.  See
+    :func:`_esc_sort_compress` for the why.
     """
     kdt = jnp.int64 if key64 else jnp.int32
     nnz_pad = a_rows.shape[0]

@@ -19,6 +19,8 @@ Reference behavior being reproduced: the op drivers in
 all handle lifecycle, which does not exist here.
 """
 
+import time
+
 import numpy as np
 
 import jax
@@ -775,7 +777,23 @@ def _pow2_bucket(x, lo=1 << 12):
     return b
 
 
+class _EscPatternStale(Exception):
+    """Raised when an ESC pattern-cache hit fails its in-band count
+    validation; the caller re-runs with the entry dropped."""
+
+
 def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
+    """Count-validated wrapper of :func:`_spgemm_esc_arrays_impl` —
+    a stale structural-pattern entry (cannot happen under the
+    monotone-token keying, but validated in-band anyway) triggers one
+    cold re-run."""
+    try:
+        return _spgemm_esc_arrays_impl(A, B, out_dtype, triangular)
+    except _EscPatternStale:
+        return _spgemm_esc_arrays_impl(A, B, out_dtype, triangular)
+
+
+def _spgemm_esc_arrays_impl(A, B, out_dtype, triangular=False):
     """A @ B -> (data, indices, indptr) host CSR via the row-blocked
     expand-sort-compress kernel (:func:`_xla.esc_spgemm_block`).
 
@@ -837,6 +855,7 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
     plan_key = (_structure_token(A), _structure_token(B), budget,
                 row_cap)
     plan = _esc_plan_cache.get(plan_key)
+    _t_plan = time.perf_counter()
     if plan is None:
         a_indptr_np = np.asarray(A.indptr).astype(np.int64)
         a_cols_np = np.asarray(A.indices).astype(np.int64)
@@ -848,6 +867,13 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
         row_nnz = a_indptr_np[1:] - a_indptr_np[:-1]
         # Vectorized block boundaries: one searchsorted per block (the
         # per-row Python grow-loop cost 467 ms alone at 1M rows).
+        # NOTE a pipelined multi-block flush (read block i while block
+        # i+1 computes) was tried for the 1M x 1M workload and made it
+        # WORSE (2.7 -> 4.6 s): the value-read slice programs enqueue
+        # behind the next kernel on the in-order device queue, so reads
+        # serialize on kernels instead of overlapping.  The winning
+        # lever is the structural pattern cache below (steady state
+        # reads values only).
         blocks = []
         lo = 0
         while lo < m:
@@ -864,13 +890,16 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
                 perms[lo] = np.argsort(
                     a_cols_np[plo:phi], kind="stable"
                 ).astype(np.int32)
+        # The trailing dict caches per-block STRUCTURE-ONLY device
+        # arrays (perm, padded rows/cols, offsets, packed-A static
+        # columns) so steady-state calls upload nothing but values.
         plan = (a_indptr_np, a_cols_np, b_indptr_np, bstart, ext,
-                row_ext_cum, row_nnz, blocks, perms)
+                row_ext_cum, row_nnz, blocks, perms, {})
         if len(_esc_plan_cache) > 4:
             _esc_plan_cache.clear()
         _esc_plan_cache[plan_key] = plan
     (a_indptr_np, a_cols_np, b_indptr_np, bstart, ext, row_ext_cum,
-     row_nnz, blocks, perms) = plan
+     row_nnz, blocks, perms, dev_cache) = plan
 
     rows_full = A.row_indices()
     a_chans = _value_channels(A, nchan)
@@ -897,53 +926,115 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
 
     all_vals, all_cols = [], []
     counts = np.zeros(m, dtype=np.int64)
+    prof = {"plan_ms": (time.perf_counter() - _t_plan) * 1e3,
+            "prep_dispatch_ms": 0.0,
+            "kernel_wait_ms": 0.0, "readback_ms": 0.0,
+            "assembly_ms": 0.0, "readback_bytes": 0, "blocks": 0,
+            "pattern_cached": False}
+
+    # Structural pattern cache: the output pattern (per-block counts,
+    # final indices/indptr) depends ONLY on the operand structures, so
+    # steady-state repeats skip the key readback entirely and read
+    # VALUES only — 32 MB instead of 54 MB on the 1M x 1M headline,
+    # the dominant e2e phase (VERDICT r4 item 4).  Every hit is
+    # validated in-band by the per-block count read; a mismatch (cache
+    # poisoning — "cannot happen" by the monotone-token argument, same
+    # as _spgemm_nnz_cache) drops the entry and re-runs cold.
+    pat_key = (plan_key, triangular, nchan)
+    pat = _esc_pattern_cache.get(pat_key)
+    use_pat = pat is not None
+    new_cnts = {}
+    prof["pattern_cached"] = bool(use_pat)
 
     # Deferred-sync machinery: block kernels are dispatched in waves of
     # ``_ESC_WAVE`` and their counts read back TOGETHER (one stacked
     # scalar transfer per wave instead of one 25 ms round-trip per
-    # block — the round-2 profile's single biggest ESC cost).  The
-    # value readbacks that follow only start after every kernel in the
-    # wave is in flight, so block compute pipelines under the reads.
+    # block — the round-2 profile's single biggest ESC cost).  For
+    # LARGE blocks (>= _ESC_LARGE_EPAD expansion slots) the flush
+    # instead drains all-but-the-newest entry, so one kernel is always
+    # executing on device while the host reads the previous block over
+    # the link — compute/transfer overlap worth ~the whole kernel time
+    # on the 1M x 1M workload.
     _ESC_WAVE = 8
+    _ESC_LARGE_EPAD = 1 << 20
     wave = []
 
-    def _flush_wave():
-        if not wave:
+    def _flush_wave(nmax=None):
+        take_n = len(wave) if nmax is None else min(nmax, len(wave))
+        if not take_n:
             return
-        wave_counts = np.asarray(jnp.stack([w[-1] for w in wave]))
+        batch = [wave.pop(0) for _ in range(take_n)]
+        # The stacked count read is the batch's sync point: its wall
+        # time is (remaining) kernel execution, and everything after
+        # is link transfer + host assembly — the phase decomposition
+        # VERDICT r4 item 4 asked for (esc_last_profile).
+        t0 = time.perf_counter()
+        wave_counts = np.asarray(jnp.stack([w[-1] for w in batch]))
+        prof["kernel_wait_ms"] += (time.perf_counter() - t0) * 1e3
         for (blo, bhi, bmb, be_pad, bkey64, obuf, ovals, _), cnt in zip(
-            wave, wave_counts
+            batch, wave_counts
         ):
             cnt = int(cnt)
+            new_cnts[blo] = cnt
+            if use_pat and pat["cnts"].get(blo, 0) != cnt:
+                _esc_pattern_cache.pop(pat_key, None)
+                raise _EscPatternStale()  # re-run cold
             if not cnt:
+                continue
+            take = min(be_pad, _pow2_bucket(cnt, lo=1 << 14))
+            if use_pat:
+                # Pattern-cache hit (count-validated): VALUES ONLY —
+                # the keys/cols/indptr come from the cache.
+                t0 = time.perf_counter()
+                vraw = np.asarray(ovals[0][:take])
+                viraw = (np.asarray(ovals[1][:take])
+                         if nchan == 2 else None)
+                prof["readback_ms"] += (time.perf_counter() - t0) * 1e3
+                prof["readback_bytes"] += vraw.nbytes + (
+                    viraw.nbytes if viraw is not None else 0
+                )
+                vals_np = (vraw[:cnt] if nchan == 1
+                           else vraw[:cnt] + 1j * viraw[:cnt])
+                all_vals.append(vals_np.astype(out_dtype, copy=False))
                 continue
             # ONE i32 read either way (VERDICT r3 item 6; layout doc at
             # _xla._esc_sort_compress):
             # * key32 blocks: raw i32 keys — host splits rows/cols and
             #   bincounts over the live entries (half the r3 key bytes).
             # * key64 blocks: [per-row histogram (mb) | columns].
-            take = min(be_pad, _pow2_bucket(cnt, lo=1 << 14))
+            t0 = time.perf_counter()
             if bkey64:
                 buf_np = np.asarray(obuf[: bmb + take])
+            else:
+                buf_np = np.asarray(obuf[:take])
+            if nchan == 1:
+                vraw = np.asarray(ovals[0][:take])
+                viraw = None
+            else:
+                vraw = np.asarray(ovals[0][:take])
+                viraw = np.asarray(ovals[1][:take])
+            prof["readback_ms"] += (time.perf_counter() - t0) * 1e3
+            prof["readback_bytes"] += buf_np.nbytes + vraw.nbytes + (
+                viraw.nbytes if viraw is not None else 0
+            )
+            t0 = time.perf_counter()
+            if bkey64:
                 cols_np = buf_np[bmb: bmb + cnt]
                 counts[blo:bhi] = buf_np[: bhi - blo]
             else:
-                keys_np = np.asarray(obuf[:take])[:cnt].astype(np.int64)
+                keys_np = buf_np[:cnt].astype(np.int64)
                 rows_np = keys_np // n
                 cols_np = keys_np - rows_np * n
                 counts[blo:bhi] = np.bincount(
                     rows_np, minlength=bmb
                 )[: bhi - blo]
             if nchan == 1:
-                vals_np = np.asarray(ovals[0][:take])[:cnt]
+                vals_np = vraw[:cnt]
             else:
-                vals_np = (
-                    np.asarray(ovals[0][:take])[:cnt]
-                    + 1j * np.asarray(ovals[1][:take])[:cnt]
-                )
+                vals_np = vraw[:cnt] + 1j * viraw[:cnt]
             all_vals.append(vals_np.astype(out_dtype, copy=False))
             all_cols.append(cols_np)
-        wave.clear()
+            prof["assembly_ms"] += (time.perf_counter() - t0) * 1e3
 
     for lo, hi in blocks:
         e_blk = int(row_ext_cum[hi] - row_ext_cum[lo])
@@ -953,6 +1044,8 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
 
         if e_blk == 0 or nnz_blk == 0:
             continue
+        prof["blocks"] += 1
+        t_prep = time.perf_counter()
 
         mb_bucket = _pow2_bucket(mb, lo=256)
         e_pad = _pow2_bucket(e_blk)
@@ -960,49 +1053,83 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
         key64 = use_key64 or (mb_bucket + 1) * n >= (1 << 31)
         max_dup = int(row_nnz[lo:hi].max())
         dup_passes = max(0, int(np.ceil(np.log2(max(max_dup, 1)))))
-
-        # Column-sorted A-nonzeros (cached host argsort): the expansion
-        # then walks B's index/value arrays in ASCENDING address order
-        # (contiguous runs per B row, runs themselves sorted), so the
-        # 4M-element b_indices/b_data gathers — the block body's
-        # dominant HBM cost — hit quasi-sequentially instead of jumping
-        # rows per A-nonzero.  The kernel's sort is order-agnostic, so
-        # this is free correctness-wise.
-        perm_np = perms[lo]
-        perm = jnp.asarray(perm_np)
-
-        # Device slices, permuted and padded to the bucket shapes.
-        rows_blk = (rows_full[plo:phi].astype(jnp.int32) - lo)[perm]
-        chans_blk = [c[plo:phi][perm] for c in a_chans]
+        blk_packed = (
+            packed_ok and mb_bucket < (1 << 24) and e_pad < (1 << 24)
+        )
         pad = nnz_pad - nnz_blk
+
+        # Structure-only device arrays, built ONCE per cached plan:
+        # column-sort permutation (see the locality note below), padded
+        # local rows/cols, expansion offsets, and the packed-A static
+        # columns.  Steady-state calls upload NOTHING per block — the
+        # round-4 1M x 1M profile lost ~0.5 s/call re-uploading these
+        # over the ~50 MB/s tunnel link (VERDICT r4 item 4).
+        dev_blk = dev_cache.get(lo)
+        if dev_blk is not None and dev_blk[0] != blk_packed:
+            dev_blk = None  # config flipped the packed route: rebuild
+        if dev_blk is None:
+            # Column-sorted A-nonzeros (cached host argsort): the
+            # expansion then walks B's index/value arrays in ASCENDING
+            # address order (contiguous runs per B row, runs themselves
+            # sorted), so the 4M-element b_indices/b_data gathers — the
+            # block body's dominant HBM cost — hit quasi-sequentially
+            # instead of jumping rows per A-nonzero.  The kernel's sort
+            # is order-agnostic, so this is free correctness-wise.
+            perm_np = perms[lo]
+            perm = jnp.asarray(perm_np)
+            rows_blk = (rows_full[plo:phi].astype(jnp.int32) - lo)[perm]
+            if pad:
+                rows_blk = jnp.concatenate(
+                    [rows_blk, jnp.full((pad,), mb_bucket, jnp.int32)]
+                )
+            ext_blk = ext[plo:phi][perm_np]
+            offsets_np = np.concatenate(
+                [[0], np.cumsum(ext_blk),
+                 np.full(nnz_pad - nnz_blk, e_blk, np.int64)]
+            ).astype(np.int32)
+            offsets_dev = jnp.asarray(offsets_np)
+            if blk_packed:
+                bstart_blk = np.zeros(nnz_pad, np.int32)
+                bstart_blk[:nnz_blk] = bstart[plo:phi][perm_np]
+                # Static [local_row, bstart, offset] columns of the
+                # packed-A rows (esc_pack_a with no value channels).
+                apack_static = _xla.esc_pack_a(
+                    rows_blk, jnp.asarray(bstart_blk),
+                    offsets_dev[:nnz_pad], (), chan64=chan64,
+                )
+                cols_blk = None
+            else:
+                apack_static = None
+                cols_blk = A.indices[plo:phi].astype(jnp.int32)[perm]
+                if pad:
+                    cols_blk = jnp.concatenate(
+                        [cols_blk, jnp.zeros((pad,), jnp.int32)]
+                    )
+            dev_blk = (blk_packed, perm, rows_blk, offsets_dev,
+                       apack_static, cols_blk)
+            dev_cache[lo] = dev_blk
+        (_, perm, rows_blk, offsets_dev, apack_static,
+         cols_blk) = dev_blk
+
+        # Value channels: the only per-call device prep.
+        chans_blk = [c[plo:phi][perm] for c in a_chans]
         if pad:
-            rows_blk = jnp.concatenate(
-                [rows_blk, jnp.full((pad,), mb_bucket, jnp.int32)]
-            )
             chans_blk = [
                 jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
                 for c in chans_blk
             ]
 
-        ext_blk = ext[plo:phi][perm_np]
-        offsets = np.concatenate(
-            [[0], np.cumsum(ext_blk),
-             np.full(nnz_pad - nnz_blk, e_blk, np.int64)]
-        ).astype(np.int32)
-
-        blk_packed = (
-            packed_ok and mb_bucket < (1 << 24) and e_pad < (1 << 24)
-        )
         if blk_packed:
-            bstart_blk = np.zeros(nnz_pad, np.int32)
-            bstart_blk[:nnz_blk] = bstart[plo:phi][perm_np]
-            a_pack = _xla.esc_pack_a(
-                rows_blk, jnp.asarray(bstart_blk),
-                jnp.asarray(offsets[:nnz_pad]), tuple(chans_blk),
-                chan64=chan64,
+            vals_pack = _xla.esc_pack_a_vals(
+                tuple(chans_blk), chan64=chan64
             )
+            a_pack = jnp.concatenate([apack_static, vals_pack], axis=1)
+            prof["prep_dispatch_ms"] += (
+                (time.perf_counter() - t_prep) * 1e3
+            )
+            t_prep = time.perf_counter()
             out = _xla.esc_spgemm_block_packed(
-                a_pack, jnp.asarray(offsets),
+                a_pack, offsets_dev,
                 jnp.asarray(e_blk, jnp.int32), b_pack,
                 jnp.asarray(lo, jnp.int32),
                 e_pad=e_pad, mb=mb_bucket, n=n, nchan=nchan,
@@ -1011,14 +1138,13 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
                 perm_sort=_esc_perm_sort(real_dtype, nchan),
             )
         else:
-            cols_blk = A.indices[plo:phi].astype(jnp.int32)[perm]
-            if pad:
-                cols_blk = jnp.concatenate(
-                    [cols_blk, jnp.zeros((pad,), jnp.int32)]
-                )
             a_vals_blk = jnp.stack(chans_blk)
+            prof["prep_dispatch_ms"] += (
+                (time.perf_counter() - t_prep) * 1e3
+            )
+            t_prep = time.perf_counter()
             out = _xla.esc_spgemm_block(
-                rows_blk, cols_blk, a_vals_blk, jnp.asarray(offsets),
+                rows_blk, cols_blk, a_vals_blk, offsets_dev,
                 jnp.asarray(e_blk, jnp.int32),
                 b_indptr_dev, b_indices_dev, b_chans,
                 jnp.asarray(lo, jnp.int32),
@@ -1027,6 +1153,7 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
                 triangular=triangular,
                 perm_sort=_esc_perm_sort(real_dtype, nchan),
             )
+        prof["prep_dispatch_ms"] += (time.perf_counter() - t_prep) * 1e3
         obuf, ovals, count = out[0], out[1:-1], out[-1]
         wave.append((lo, hi, mb_bucket, e_pad, key64, obuf, ovals,
                      count))
@@ -1034,18 +1161,48 @@ def spgemm_esc_arrays(A, B, out_dtype, triangular=False):
             _flush_wave()
     _flush_wave()
 
+    t0 = time.perf_counter()
     if not all_vals:
+        esc_last_profile.clear()
+        esc_last_profile.update(prof)
         return (
             np.zeros(0, dtype=out_dtype),
             np.zeros(0, dtype=config.index_dtype),
             np.zeros(m + 1, dtype=config.index_dtype),
         )
     data = np.concatenate(all_vals)
-    indices = np.concatenate(all_cols).astype(config.index_dtype)
-    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(
-        config.index_dtype
-    )
+    if use_pat:
+        # Copies, not references: callers hand these to scipy
+        # containers whose in-place ops (sort_indices, etc.) would
+        # otherwise mutate the cache.
+        indices = pat["indices"].copy()
+        indptr = pat["indptr"].copy()
+    else:
+        indices = np.concatenate(all_cols).astype(config.index_dtype)
+        indptr = np.concatenate([[0], np.cumsum(counts)]).astype(
+            config.index_dtype
+        )
+        if indices.nbytes + indptr.nbytes <= (256 << 20):
+            if len(_esc_pattern_cache) > 2:
+                _esc_pattern_cache.clear()
+            _esc_pattern_cache[pat_key] = {
+                "cnts": dict(new_cnts),
+                "indices": indices.copy(),
+                "indptr": indptr.copy(),
+            }
+    prof["assembly_ms"] += (time.perf_counter() - t0) * 1e3
+    esc_last_profile.clear()
+    esc_last_profile.update(prof)
     return data, indices, indptr
+
+
+# Phase decomposition of the most recent spgemm_esc_arrays call
+# (VERDICT r4 item 4): prep_dispatch (host planning lookups + value
+# packing dispatches), kernel_wait (wall time of the wave count reads —
+# remaining kernel execution at the sync point), readback (link
+# transfer of keys/values), assembly (host-side numpy).  Overlap makes
+# the phases sum to <= e2e, not ==.
+esc_last_profile = {}
 
 
 # Speculative output-size cache for the device-compaction path.  With
@@ -1062,6 +1219,12 @@ _spgemm_nnz_cache = {}
 # same monotone-token safety argument applies; the in-band count check
 # still validates every hit.
 _spgemm_struct_cache = {}
+
+# ESC structural-pattern cache (round 5): keyed by (plan_key,
+# triangular, nchan); holds per-block counts + final indices/indptr so
+# steady-state repeats read ONLY values over the link.  Count-validated
+# in-band on every hit (see _flush_wave / _EscPatternStale).
+_esc_pattern_cache = {}
 
 # ESC host-planning cache (see spgemm_esc_arrays): keyed by structure
 # tokens + budget, holds the numpy planning arrays and per-block
@@ -1364,14 +1527,20 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         # Cache the extraction structure, budget-gated (the f32 path's
         # dest is m*n int32 — the dominant term) and keeping only the
         # array the dtype's value-movement actually uses: src (gather)
-        # for f64, dest (set-scatter) for f32.
-        use_gather = np.dtype(real_dtype) == np.float64
+        # for f64-under-Ozaki, dest (set-scatter) otherwise.  The hi|lo
+        # pair gather re-rounds f64 values at ~2^-49 and saturates
+        # outside f32 range, so it is only used where Ozaki's input
+        # range contract already holds; exact-f64 movement elsewhere.
+        use_gather = (
+            np.dtype(real_dtype) == np.float64
+            and _xla._ozaki.enabled(real_dtype, k, m * k * n)
+        )
         vkey = src if use_gather else dest
         struct_bytes = int(vkey.size) * 4 + (nnz + m + 1) * 8
         if struct_bytes <= getattr(
             config, "spgemm_plane_cache_bytes", 1 << 28
         ):
-            _spgemm_struct_cache[key] = (vkey, cols, indptr)
+            _spgemm_struct_cache[key] = (vkey, cols, indptr, use_gather)
         vals = dense_dev.reshape(-1)[src]  # one-time value gather
     else:
         if nnz == 0:
@@ -1394,8 +1563,11 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
             # the program does numeric + pattern-count + value movement
             # only.  cols/indptr come straight from the cache.
             a_num, ind_a, a_cm, b_num, ind_b, b_cm, syrk = planes
-            vkey, cols, indptr = struct
-            use_gather = np.dtype(real_dtype) == np.float64
+            # The cached flag records which value-movement array was
+            # kept (src for the hi|lo gather, dest for the exact
+            # scatter) — it must be honored, not recomputed, or a
+            # config flip between calls would misread the cache.
+            vkey, cols, indptr, use_gather = struct
             vals, count, bad = _xla.spgemm_structural_vals_planes(
                 a_num, ind_a, b_num, ind_b, vkey, prev_bad, a_cm=a_cm,
                 b_cm=b_cm, syrk=syrk, triangular=triangular, nnz=nnz,

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import formats
+from ..config import config
 from ..interface import (
     sparse_handle_t,
     SPARSE_MATRIX_TYPE_GENERAL,
@@ -37,6 +38,26 @@ from ..ops.host import coo_parts
 DEFAULT_ATOL = 0.0
 DEFAULT_RTOL = 1e-6
 DEFAULT_MAX_ITER = 1000
+
+_HILO_ABS_MAX = 3.0e38  # just under f32 max
+
+
+def _hilo_safe(*arrays):
+    """True when every magnitude is inside the f32-representable range,
+    so the ELL loops' hi|lo iterate split cannot saturate (the split is
+    exact to ~2^-49 relative INSIDE that range; |x| beyond it becomes
+    inf).  Gated on b/x0 — the anchors that set the solve's scale —
+    before choosing the split form of the binned-ELL matvec."""
+    for a in arrays:
+        if a is None:
+            continue
+        a = np.asarray(a)
+        if a.size == 0:
+            continue
+        m = float(np.max(np.abs(a)))
+        if not np.isfinite(m) or m > _HILO_ABS_MAX:
+            return False
+    return True
 
 
 class ConvergenceWarning(UserWarning):
@@ -83,15 +104,17 @@ def _cg_loop_body(mv, b, x0, threshold, maxiter):
     return x, rs, it
 
 
-@partial(jax.jit, static_argnames=("segs",))
+@partial(jax.jit, static_argnames=("segs", "split"))
 def _cg_ell_device_loop(cols_flat, vals_flat, invpos, b, x0, threshold,
-                        maxiter, segs):
+                        maxiter, segs, split=True):
     """:func:`_cg_device_loop` with the matvec on the binned-ELL
     windowed-gather kernel instead of the COO scatter-add (which costs
     ~1.3 s/iteration at millions of nonzeros in f64 — X64-pair
     scatter-adds plus 1-wide gathers).  Identical step order and
-    convergence test."""
-    split = vals_flat.dtype == jnp.float64
+    convergence test.  ``split=False`` (callers pass
+    ``_hilo_safe(...)``) keeps the iterate gather exact f64 when the
+    problem scale is outside the hi|lo split's f32 range."""
+    split = split and vals_flat.dtype == jnp.float64
 
     def mv(v):
         return _xla.ell_spmm_binned(
@@ -102,15 +125,15 @@ def _cg_ell_device_loop(cols_flat, vals_flat, invpos, b, x0, threshold,
     return _cg_loop_body(mv, b, x0, threshold, maxiter)
 
 
-@partial(jax.jit, static_argnames=("segs",))
+@partial(jax.jit, static_argnames=("segs", "split"))
 def _cg_mrhs_ell_loop(cols_flat, vals_flat, invpos, B, X0, thresholds,
-                      maxiter, segs):
+                      maxiter, segs, split=True):
     """Multi-RHS CG on ONE binned-ELL product per step: all columns
     advance together with per-column scalars; a converged column is
     frozen (zero-length steps, search direction untouched), so each
     column's iterates match its single-RHS solve exactly.  Returns
     (X, final squared residual norms)."""
-    split = vals_flat.dtype == jnp.float64
+    split = split and vals_flat.dtype == jnp.float64
 
     def mv(V):
         return _xla.ell_spmm_binned(
@@ -279,9 +302,7 @@ class IterativeSparseSolver:
         is COO-only — or non-CSR container, a degenerate layout, or the
         ``config.ell_binned`` kill-switch, which must disable the
         binned kernel here just like on the SpMM path)."""
-        from ..config import config as _cfg
-
-        if not getattr(_cfg, "ell_binned", True):
+        if not getattr(config, "ell_binned", True):
             return None
         if self.matrix_A_descr[0] == SPARSE_MATRIX_TYPE_SYMMETRIC:
             return None
@@ -302,7 +323,7 @@ class IterativeSparseSolver:
         if binned is not None:
             segs, cols_flat, vals_flat, invpos = binned
             vals64 = vals_flat.astype(jnp.float64)
-            split = True
+            split = _hilo_safe(self.b)
 
             @jax.jit
             def op(v):
@@ -444,7 +465,7 @@ class CGIterativeSparseSolver(IterativeSparseSolver):
                 jnp.asarray(self.b), jnp.asarray(self.x),
                 jnp.asarray(thr, jnp.float64),
                 jnp.asarray(self.max_iter, jnp.int32),
-                segs=segs,
+                segs=segs, split=_hilo_safe(self.b, self.x),
             )
         else:
             rows, cols, vals = self._operator_coo()
@@ -582,17 +603,18 @@ def _fgmres_cycle(rows, cols, vals, b, x, threshold, n, restart):
     return _fgmres_cycle_body(mv, b, x, threshold, n, restart)
 
 
-@partial(jax.jit, static_argnames=("n", "restart", "segs"))
+@partial(jax.jit, static_argnames=("n", "restart", "segs", "split"))
 def _fgmres_cycle_ell(cols_flat, vals_flat, invpos, b, x, threshold, n,
-                      restart, segs):
+                      restart, segs, split=True):
     """Binned-ELL (windowed gather) matvec wrapper of
     :func:`_fgmres_cycle_body` — see :func:`_cg_ell_device_loop` for
-    why the gather form beats COO by ~20x at millions of nonzeros."""
+    why the gather form beats COO by ~20x at millions of nonzeros and
+    for the ``split`` range gate."""
 
     def mv(v):
         return _xla.ell_spmm_binned(
             cols_flat, vals_flat, v[:, None], invpos, segs=segs,
-            split_b=True,
+            split_b=split,
         )[:, 0]
 
     return _fgmres_cycle_body(mv, b, x, threshold, n, restart)
@@ -634,15 +656,16 @@ def _fgmres_device_loop(rows, cols, vals, b, x0, threshold, maxiter, n,
     return _fgmres_loop_body(mv_cycle, mv, b, x0, threshold, maxiter)
 
 
-@partial(jax.jit, static_argnames=("n", "restart", "segs"))
+@partial(jax.jit, static_argnames=("n", "restart", "segs", "split"))
 def _fgmres_ell_device_loop(cols_flat, vals_flat, invpos, b, x0,
-                            threshold, maxiter, n, restart, segs):
+                            threshold, maxiter, n, restart, segs,
+                            split=True):
     """:func:`_fgmres_device_loop` with binned-ELL gather matvecs."""
 
     def mv(v):
         return _xla.ell_spmm_binned(
             cols_flat, vals_flat, v[:, None], invpos, segs=segs,
-            split_b=True,
+            split_b=split,
         )[:, 0]
 
     def mv_cycle(b_, x_, thr_):
@@ -683,6 +706,7 @@ class FGMRESIterativeSparseSolver(IterativeSparseSolver):
                 jnp.asarray(self.b), jnp.asarray(self.x),
                 jnp.asarray(self._threshold_value(), jnp.float64),
                 n=self.n, restart=min(self.restart, self.n), segs=segs,
+                split=_hilo_safe(self.b, self.x),
             )
         else:
             rows, cols, vals = self._operator_coo()
@@ -715,6 +739,7 @@ class FGMRESIterativeSparseSolver(IterativeSparseSolver):
                 jnp.asarray(thr, jnp.float64),
                 jnp.asarray(self.max_iter, jnp.int32),
                 n=self.n, restart=min(self.restart, self.n), segs=segs,
+                split=_hilo_safe(self.b, self.x),
             )
         else:
             rows, cols, vals = self._operator_coo()
@@ -820,6 +845,7 @@ def cg_mrhs(A, B, X0=None, tol=1e-05, maxiter=DEFAULT_MAX_ITER, M=None,
             jnp.asarray(B_np), jnp.asarray(X0_np),
             jnp.asarray(thresholds, jnp.float64),
             jnp.asarray(maxiter, jnp.int32), segs=segs,
+            split=_hilo_safe(B_np, X0_np),
         )
     else:
         rows, cols, vals = _coo_of_container(Ac)

@@ -22,6 +22,7 @@ phase 13 solves; ``perm`` is returned untouched (zeros) unless supplied.
 
 import itertools
 import warnings
+from functools import partial
 
 import numpy as np
 import scipy.sparse as _sps
@@ -57,6 +58,45 @@ PARDISO_ERRORS = {
 _REAL_MTYPES = (1, 2, -2, 11)
 _COMPLEX_MTYPES = (3, 4, -4, 6, 13)
 
+# iparm slots this implementation honors or deliberately accepts.
+# Honored: iparm[7] (max iterative-refinement steps, output count in
+# iparm[6]), iparm[11] (transpose / conjugate-transpose solve),
+# iparm[17]/iparm[18] (<0 on entry requests the factor-nnz / MFLOP
+# reports, written on output), iparm[27] (single precision),
+# iparm[34] (zero-based indexing — the only supported value is 1,
+# scipy CSR is zero-based).  Accepted-but-moot (they select behaviors
+# of MKL's sparse elimination that a dense-LU / Krylov backing has no
+# analog of, without changing the answer): iparm[0] (user-supplied
+# flag), iparm[1] (ordering), iparm[9] (pivot perturbation),
+# iparm[10] (scaling), iparm[12] (matching).  Any OTHER nonzero slot
+# warns instead of being silently ignored
+# (reference forwards all 64 slots to MKL, ``_pardiso.py:139-147``).
+_IPARM_ACCEPTED = frozenset({0, 1, 7, 9, 10, 11, 12, 17, 18, 27, 34})
+
+
+def _check_iparm(iparm, quiet):
+    """Warn on nonzero iparm slots outside the honored/accepted set."""
+    if iparm is None:
+        return
+    ip = np.asarray(iparm)
+    unsupported = [
+        int(i) for i in np.nonzero(ip)[0] if int(i) not in _IPARM_ACCEPTED
+    ]
+    if unsupported and not quiet:
+        warnings.warn(
+            f"iparm slots {unsupported} are nonzero but not honored by "
+            "sparse_dot_tpu's pardiso (dense-LU / Krylov backing); "
+            "results may differ from MKL for those options",
+            RuntimeWarning,
+        )
+    if ip.shape[0] > 34 and int(ip[34]) == 0 and not quiet:
+        warnings.warn(
+            "iparm[34] == 0 selects one-based (Fortran) indexing, which "
+            "scipy CSR inputs cannot carry; indices are interpreted as "
+            "zero-based (set iparm[34] = 1, as pardisoinit does)",
+            RuntimeWarning,
+        )
+
 # Factorization store: pt[0] holds a key into this registry (the opaque
 # "pointer" role pt plays in MKL).
 _factor_store = {}
@@ -80,36 +120,42 @@ def _lu_factor(a_dense):
     return jax.scipy.linalg.lu_factor(a_dense)
 
 
-@jax.jit
-def _lu_solve(lu, piv, b):
-    return jax.scipy.linalg.lu_solve((lu, piv), b)
+@partial(jax.jit, static_argnames=("trans",))
+def _lu_solve(lu, piv, b, trans=0):
+    return jax.scipy.linalg.lu_solve((lu, piv), b, trans=trans)
 
 
-@jax.jit
-def _lu_solve_refined(lu32, piv, a_dense64, b64):
+@partial(jax.jit, static_argnames=("trans",))
+def _lu_solve_refined(lu32, piv, a_dense64, b64, max_steps, trans=0):
     """Mixed-precision direct solve: f32 LU + f64 iterative refinement.
 
     XLA:TPU implements LuDecomposition only for F32/C64, so on TPU the
     factor is computed in f32 and each refinement step recovers ~7
-    digits: x += LU^-1 (b - A x) with the residual in exact f64.  The
-    loop runs on device (no host syncs) until the residual stalls."""
+    digits: x += LU^-1 (b - op(A) x) with the residual in exact f64.
+    The loop runs on device (no host syncs) until the residual stalls
+    or ``max_steps`` (iparm[7]) is reached.  ``trans`` (scipy
+    convention: 1 = op(A) = A^T) selects the transpose solve
+    (iparm[11]).  Returns (x, steps_taken) — the count feeds the
+    iparm[6] output report."""
 
     def solve32(r):
         return jax.scipy.linalg.lu_solve(
-            (lu32, piv), r.astype(jnp.float32)
+            (lu32, piv), r.astype(jnp.float32), trans=trans
         ).astype(jnp.float64)
+
+    a_op = a_dense64.T if trans else a_dense64
 
     b_norm = jnp.linalg.norm(b64)
     tol = 1e-13 * jnp.maximum(b_norm, 1e-300)
 
     def resid(x):
-        return b64 - jnp.dot(a_dense64, x)
+        return b64 - jnp.dot(a_op, x)
 
     x0 = solve32(b64)
 
     def cond(state):
         _, r, it = state
-        return jnp.logical_and(jnp.linalg.norm(r) > tol, it < 60)
+        return jnp.logical_and(jnp.linalg.norm(r) > tol, it < max_steps)
 
     def body(state):
         x, r, it = state
@@ -117,8 +163,8 @@ def _lu_solve_refined(lu32, piv, a_dense64, b64):
         return (x, resid(x), it + 1)
 
     state = (x0, resid(x0), jnp.asarray(0, jnp.int32))
-    x, _, _ = jax.lax.while_loop(cond, body, state)
-    return x
+    x, _, it = jax.lax.while_loop(cond, body, state)
+    return x, it
 
 
 def _densify_real_embedding(A_container, n):
@@ -194,6 +240,21 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
     if mtype not in _REAL_MTYPES + _COMPLEX_MTYPES:
         return _fail(B, pt, perm, -1, quiet)
 
+    _check_iparm(iparm, quiet)
+    # iparm[11]: 0 = solve A X = B, 1 = conjugate-transpose A^H X = B,
+    # 2 = transpose A^T X = B (MKL slot semantics; the reference
+    # forwards the whole block, ``_pardiso.py:139-147``).
+    tmode = 0
+    max_refine = 60  # residual-stall bound of the mixed-precision loop
+    if iparm is not None:
+        ip = np.asarray(iparm)
+        if ip.shape[0] > 11:
+            tmode = int(ip[11])
+            if tmode not in (0, 1, 2):
+                return _fail(B, pt, perm, -1, quiet)
+        if ip.shape[0] > 7 and int(ip[7]) > 0:
+            max_refine = int(ip[7])
+
     if X is None:
         X = np.zeros_like(np.asarray(B))
 
@@ -250,6 +311,15 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
         state["dtype"] = A_container.dtype
         state["embedded"] = False
         state["lu"] = None
+        # Reports (iparm[17]/[18], <0 on entry requests them): the
+        # matrix-free route's "factorization" is the matrix itself.
+        if iparm is not None:
+            if len(iparm) > 17 and int(iparm[17]) < 0:
+                iparm[17] = min(
+                    int(A_container.nnz), np.iinfo(np.int32).max
+                )
+            if len(iparm) > 18 and int(iparm[18]) < 0:
+                iparm[18] = 0
 
     elif do_factor:
         a_dense, embedded = _densify_real_embedding(A_container, n)
@@ -271,6 +341,17 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
         state["mixed"] = mixed
         state["embedded"] = embedded
         state["dtype"] = A_container.dtype
+        # Post-factorization reports (MKL fills these after phase 22
+        # when <0 on entry): the backing factor is a dense LU, so nnz
+        # in factors is n_eff^2 and the flop count is (2/3) n_eff^3,
+        # reported in MFLOP like iparm[18].
+        if iparm is not None:
+            n_eff = int(lu.shape[0])
+            i32max = np.iinfo(np.int32).max
+            if len(iparm) > 17 and int(iparm[17]) < 0:
+                iparm[17] = min(n_eff * n_eff, i32max)
+            if len(iparm) > 18 and int(iparm[18]) < 0:
+                iparm[18] = min(int(2 * n_eff**3 / 3 / 1e6), i32max)
 
     if do_solve and state.get("iterative"):
         from .iterative import _cg_device_loop, _fgmres_device_loop
@@ -280,6 +361,9 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
         if np.dtype(container.dtype).kind == "c":
             return _fail(B, pt, perm, -1, quiet)  # complex: LU only
         rows, cols, vals = _coo_parts(container)[:3]
+        if tmode in (1, 2):
+            # Real transpose solve (iparm[11]): swap the COO roles.
+            rows, cols = cols, rows
         b_np = np.asarray(B, dtype=np.float64)
         b_2d = b_np.reshape(-1, 1) if b_np.ndim == 1 else b_np
         xs = []
@@ -314,28 +398,52 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
             return _fail(B, pt, perm, -1, quiet)
         lu, piv = state["lu"]
         mixed = state.get("mixed", False)
+        refine_steps = 0
 
-        def _solve(b_dev):
+        def _solve(b_dev, trans=0):
+            nonlocal refine_steps
             if mixed:
-                return _lu_solve_refined(
+                x, steps = _lu_solve_refined(
                     lu, piv, state["a_dense"],
                     b_dev.astype(jnp.float64),
+                    jnp.asarray(max_refine, jnp.int32), trans=trans,
                 )
-            return _lu_solve(lu, piv, b_dev)
+                refine_steps = max(refine_steps, int(steps))
+                return x
+            return _lu_solve(lu, piv, b_dev, trans=trans)
 
         b_np = np.asarray(B)
         b_2d = b_np.reshape(-1, 1) if b_np.ndim == 1 else b_np
         if state["embedded"]:
-            b_stack = np.concatenate([b_2d.real, b_2d.imag], axis=0)
-            x_stack = np.asarray(_solve(jnp.asarray(b_stack)))
-            x = (x_stack[:n] + 1j * x_stack[n:]).astype(b_np.dtype)
+            # Transpose solves through the real 2n embedding E(A) =
+            # [[Re,-Im],[Im,Re]]: E(A)^T = E(A^H), so the conjugate
+            # transpose (tmode 1) is a plain trans=1 solve, and the
+            # non-conjugate transpose (tmode 2) uses
+            # A^T x = b  <=>  A^H conj(x) = conj(b).
+            b_eff = b_2d.conj() if tmode == 2 else b_2d
+            e_trans = 1 if tmode in (1, 2) else 0
+            b_stack = np.concatenate([b_eff.real, b_eff.imag], axis=0)
+            x_stack = np.asarray(_solve(jnp.asarray(b_stack), e_trans))
+            x = x_stack[:n] + 1j * x_stack[n:]
+            if tmode == 2:
+                x = x.conj()
+            x = x.astype(b_np.dtype)
         elif np.iscomplexobj(b_np) and _backend.supports_native_complex():
-            x = np.asarray(_solve(jnp.asarray(b_2d)))
+            # scipy trans codes: 1 = A^T, 2 = A^H (iparm[11] is the
+            # reverse: 1 = conjugate transpose, 2 = transpose).
+            c_trans = {0: 0, 1: 2, 2: 1}[tmode]
+            x = np.asarray(_solve(jnp.asarray(b_2d), c_trans))
         else:
+            r_trans = 1 if tmode in (1, 2) else 0
             target = jnp.float64 if mixed else lu.dtype
-            x = np.asarray(_solve(jnp.asarray(b_2d.astype(target))))
+            x = np.asarray(
+                _solve(jnp.asarray(b_2d.astype(target)), r_trans)
+            )
         x = x.reshape(b_np.shape).astype(b_np.dtype, copy=False)
         X[...] = x
+        # iparm[6] output report: refinement steps performed.
+        if iparm is not None and len(iparm) > 6:
+            iparm[6] = refine_steps
 
     return X, pt, perm, 0
 

@@ -50,11 +50,29 @@ def _qr_lstsq(a_dense, b):
 # Householder QR to the iterative (CGLS) normal-equations loop.
 _QR_DENSIFY_BUDGET = 2 << 30
 
+# Diagnostics: CGLS iteration count of the most recent large-m solve
+# (None when the dense Householder route ran).  Read by the bench and
+# the ill-conditioning stress test to record iteration growth.
+_last_cgls_iters = None
 
-def _cgls_loop_body(fwd, adj, b, k, tol, maxiter):
+
+def _cgls_loop_body(fwd, adj, b, k, tol, maxiter, d=None):
     """Shared CGLS state machine: min ||A X - B|| column-by-column with
     per-column step sizes (a converged column takes zero-length steps).
-    ``fwd``/``adj`` supply op(A)/op(A)^T — COO or binned-ELL."""
+    ``fwd``/``adj`` supply op(A)/op(A)^T — COO or binned-ELL.
+
+    ``d`` (shape (k,)) is the Jacobi right preconditioner: the loop
+    solves the column-equilibrated system min ||(A diag(d)) Y - B||
+    and returns X = diag(d) Y.  With d_j = 1/||a_j||_2 the normal
+    matrix has unit diagonal, which bounds the iteration growth on
+    ill-conditioned systems where unpreconditioned CGLS stalls (MKL's
+    multifrontal QR — ``_sparse_qr_solver.py:61-101`` — is a direct
+    method and sets the robustness bar).  ``d=None`` is the identity."""
+    if d is not None:
+        dcol = d[:, None]
+        raw_fwd, raw_adj = fwd, adj
+        fwd = lambda p: raw_fwd(dcol * p)
+        adj = lambda r: dcol * raw_adj(r)
     x0 = jnp.zeros((k, b.shape[1]), b.dtype)
     s0 = adj(b)  # residual with x = 0 is b itself
     g0 = jnp.sum(s0 * s0, axis=0)  # per-column gradient norms
@@ -79,11 +97,13 @@ def _cgls_loop_body(fwd, adj, b, k, tol, maxiter):
 
     state = (x0, b, s0, g0, jnp.asarray(0, jnp.int32))
     x, r, _, _, it = jax.lax.while_loop(cond, body, state)
+    if d is not None:
+        x = d[:, None] * x
     return x, it
 
 
 @partial(jax.jit, static_argnames=("m", "k"))
-def _cgls_device_loop(rows, cols, vals, b, m, k, tol, maxiter):
+def _cgls_device_loop(rows, cols, vals, b, m, k, tol, maxiter, d=None):
     """COO-matvec CGLS (scatter-add form — the fallback when the
     binned-ELL layout degenerates).  This is the large-m route of the
     reference's multifrontal QR (``_sparse_qr_solver.py:61-101``) —
@@ -101,20 +121,24 @@ def _cgls_device_loop(rows, cols, vals, b, m, k, tol, maxiter):
             prods, mode="drop"
         )
 
-    return _cgls_loop_body(fwd, adj, b, k, tol, maxiter)
+    return _cgls_loop_body(fwd, adj, b, k, tol, maxiter, d=d)
 
 
-@partial(jax.jit, static_argnames=("m", "k", "fsegs", "asegs"))
+@partial(jax.jit,
+         static_argnames=("m", "k", "fsegs", "asegs", "split"))
 def _cgls_ell_loop(fcols, fvals, finv, acols, avals, ainv, b, m, k,
-                   fsegs, asegs, tol, maxiter):
+                   fsegs, asegs, tol, maxiter, d=None, split=True):
     """CGLS over binned-ELL matvecs: both op(A) directions run as
     windowed gathers + segment reduces (``_xla.ell_spmm_binned``) —
     no f64 scatter-adds and no 1-wide gathers.  The COO loop's matvec
     pair cost ~1.3 s/iteration at 1.2M x 50k / 4.65M nnz (X64-pair
-    scatter-add + 1-wide f64 gathers); this form measures ~60 ms."""
+    scatter-add + 1-wide f64 gathers); this form measures ~60 ms.
+    ``split=False`` keeps iterate gathers exact f64 when the problem
+    scale is outside the hi|lo split's f32 range (see
+    ``iterative._hilo_safe``)."""
     from ..ops import _xla as _x
 
-    split = b.dtype == jnp.float64
+    split = split and b.dtype == jnp.float64
 
     def fwd(x):  # (k, r) -> (m, r)
         return _x.ell_spmm_binned(fcols, fvals, x, finv, segs=fsegs,
@@ -124,10 +148,33 @@ def _cgls_ell_loop(fcols, fvals, finv, acols, avals, ainv, b, m, k,
         return _x.ell_spmm_binned(acols, avals, y, ainv, segs=asegs,
                                   split_b=split)
 
-    return _cgls_loop_body(fwd, adj, b, k, tol, maxiter)
+    return _cgls_loop_body(fwd, adj, b, k, tol, maxiter, d=d)
+
+
+def _jacobi_colscale(matrix_a, cols, vals, k):
+    """Jacobi right-preconditioner d_j = 1/||a_j||_2 as a (k,) f64
+    device vector (1.0 for empty columns).  Computed host-side in one
+    C-speed pass (scipy reduction or np.bincount) — O(nnz), once per
+    solve, off the device's critical path."""
+    import scipy.sparse as _sps
+
+    if _sps.issparse(matrix_a):
+        sq = np.asarray(
+            matrix_a.multiply(matrix_a.conj()).sum(axis=0)
+        ).ravel().real.astype(np.float64)
+    else:
+        cols_np = np.asarray(cols)
+        vals_np = np.asarray(vals, dtype=np.float64)
+        sq = np.bincount(
+            cols_np, weights=vals_np * vals_np, minlength=k
+        )[:k]
+    norms = np.sqrt(sq)
+    d = np.where(norms > 0, 1.0 / np.maximum(norms, 1e-300), 1.0)
+    return jnp.asarray(d, jnp.float64)
 
 
 def _sparse_qr(matrix_a, matrix_b):
+    global _last_cgls_iters
     A = formats.to_device(matrix_a)
     rows, cols, vals, m, n = coo_parts(A)
     b_np = np.asarray(matrix_b)
@@ -167,25 +214,31 @@ def _sparse_qr(matrix_a, matrix_b):
                 at_dev = formats.to_device(matrix_a.T.tocsr())
                 A._qr_adjoint = at_dev
             adj_binned = at_dev.ell_parts_binned()
+        d = _jacobi_colscale(matrix_a, cols, vals, n)
         if fwd_binned is not None and adj_binned is not None:
+            from .iterative import _hilo_safe
+
             fsegs, fcols, fvals, finv = fwd_binned
             asegs, acols, avals, ainv = adj_binned
-            x_dev, _ = _cgls_ell_loop(
+            x_dev, it = _cgls_ell_loop(
                 fcols, fvals.astype(jnp.float64), finv,
                 acols, avals.astype(jnp.float64), ainv,
                 b_dev.astype(jnp.float64), m=m, k=n,
                 fsegs=fsegs, asegs=asegs, tol=tol, maxiter=maxiter,
+                d=d, split=_hilo_safe(b_np),
             )
         else:
-            x_dev, _ = _cgls_device_loop(
+            x_dev, it = _cgls_device_loop(
                 rows, cols, vals.astype(jnp.float64),
                 b_dev.astype(jnp.float64),
-                m=m, k=n, tol=tol, maxiter=maxiter,
+                m=m, k=n, tol=tol, maxiter=maxiter, d=d,
             )
         x = np.asarray(x_dev)
+        _last_cgls_iters = int(it)
     else:
         a_dense = _xla.densify(rows, cols, vals, (m, n))
         x = np.asarray(_qr_lstsq(a_dense, b_dev))
+        _last_cgls_iters = None
 
     layout_b, _ = get_dense_layout(matrix_b)
     if layout_b == LAYOUT_C:

@@ -225,3 +225,141 @@ def test_large_system_routes_to_krylov():
         )
     finally:
         _cfg.pardiso_dense_budget_bytes = old
+
+
+# ---------------------------------------------------------------------------
+# iparm semantics (round 5): transpose solve, refinement cap, reports,
+# unsupported-slot warnings.  Reference forwards the whole 64-slot block
+# to MKL (``_pardiso.py:139-147``); these are the slots with real
+# behavior this implementation honors.
+# ---------------------------------------------------------------------------
+
+
+def test_iparm11_transpose_solve_real():
+    """iparm[11] = 2 solves A^T X = B (real)."""
+    pt, iparm = pardisoinit(11)
+    iparm[11] = 2
+    A = _A.astype(np.float64)
+    b = _B[:, 0].astype(np.float64)
+    X, _, _, err = pardiso(A, b, pt, 11, iparm, 13)
+    assert err == 0
+    npt.assert_array_almost_equal(
+        X, np.linalg.solve(A.toarray().T, b), decimal=6
+    )
+
+
+@pytest.mark.parametrize("planar", [False, True],
+                         ids=["native", "planar"])
+@pytest.mark.parametrize("tmode", [1, 2], ids=["conjT", "T"])
+def test_iparm11_transpose_solve_complex(tmode, planar):
+    """iparm[11] = 1 solves A^H X = B, = 2 solves A^T X = B (complex,
+    both the native-complex and the planar/embedded route)."""
+    from sparse_dot_tpu import formats
+    from sparse_dot_tpu.config import config
+
+    prev = config.force_planar_complex
+    config.force_planar_complex = planar
+    formats.clear_transfer_cache()
+    try:
+        pt, iparm = pardisoinit(13)
+        iparm[11] = tmode
+        A = _A.astype(np.complex128)
+        A = (A + 1j * sps.random(
+            *A.shape, density=0.1, random_state=5, format="csr"
+        )).tocsr()
+        b = (_B[:, 0] + 0.5j * _B[:, 1]).astype(np.complex128)
+        X, _, _, err = pardiso(A, b, pt, 13, iparm, 13)
+        assert err == 0
+        op = A.toarray().conj().T if tmode == 1 else A.toarray().T
+        npt.assert_array_almost_equal(
+            X, np.linalg.solve(op, b), decimal=6
+        )
+    finally:
+        config.force_planar_complex = prev
+        formats.clear_transfer_cache()
+
+
+def test_iparm11_transpose_solve_krylov():
+    """The matrix-free (over-budget) route honors iparm[11] too."""
+    from sparse_dot_tpu.config import config as _cfg
+
+    old = _cfg.pardiso_dense_budget_bytes
+    _cfg.pardiso_dense_budget_bytes = 1 << 10
+    try:
+        n = 100
+        rng = np.random.default_rng(23)
+        G = (sps.random(n, n, density=0.1, random_state=24,
+                        format="csr") + n * sps.identity(n)).tocsr()
+        b = rng.random(n)
+        pt, iparm = pardisoinit(11)
+        iparm[11] = 2
+        with pytest.warns(RuntimeWarning):
+            X, _, _, err = pardiso(G, b, pt, 11, iparm, 13)
+        assert err == 0
+        npt.assert_array_almost_equal(
+            X, np.linalg.solve(G.toarray().T, b), decimal=6
+        )
+    finally:
+        _cfg.pardiso_dense_budget_bytes = old
+
+
+def test_iparm11_invalid_value_fails():
+    pt, iparm = pardisoinit(11)
+    iparm[11] = 7
+    with pytest.warns(RuntimeWarning):
+        _, _, _, err = pardiso(
+            _A.astype(np.float64), _B[:, 0].astype(np.float64),
+            pt, 11, iparm, 13,
+        )
+    assert err == -1
+
+
+def test_iparm_factor_reports():
+    """iparm[17]/iparm[18] (< 0 on entry) are filled after
+    factorization: nnz in factors and MFLOP count; iparm[6] reports
+    the refinement steps the solve performed."""
+    pt, iparm = pardisoinit(11)
+    assert iparm[17] == -1 and iparm[18] == -1
+    A = _A.astype(np.float64)
+    b = _B[:, 0].astype(np.float64)
+    X, _, _, err = pardiso(A, b, pt, 11, iparm, 13)
+    assert err == 0
+    n = A.shape[0]
+    assert iparm[17] == n * n           # dense LU factors
+    assert iparm[18] == int(2 * n**3 / 3 / 1e6)
+    assert iparm[6] >= 0                # refinement count report
+
+
+def test_iparm7_caps_refinement():
+    """iparm[7] > 0 bounds the mixed-precision refinement loop; the
+    iparm[6] output must respect the cap."""
+    pt, iparm = pardisoinit(11)
+    iparm[7] = 1
+    A = _A.astype(np.float64)
+    b = _B[:, 0].astype(np.float64)
+    X, _, _, err = pardiso(A, b, pt, 11, iparm, 13)
+    assert err == 0
+    assert 0 <= iparm[6] <= 1
+
+
+def test_iparm_unsupported_slot_warns():
+    """A nonzero slot outside the honored/accepted set warns instead of
+    being silently ignored."""
+    pt, iparm = pardisoinit(11)
+    iparm[59] = 2  # MKL: out-of-core mode — no analog here
+    with pytest.warns(RuntimeWarning, match="iparm slots"):
+        _, _, _, err = pardiso(
+            _A.astype(np.float64), _B[:, 0].astype(np.float64),
+            pt, 11, iparm, 13,
+        )
+    assert err == 0
+
+
+def test_iparm_one_based_indexing_warns():
+    pt, iparm = pardisoinit(11)
+    iparm[34] = 0
+    with pytest.warns(RuntimeWarning, match="one-based"):
+        pardiso(
+            _A.astype(np.float64), _B[:, 0].astype(np.float64),
+            pt, 11, iparm, 13,
+        )

@@ -96,6 +96,39 @@ def test_large_m_routes_to_cgls(monkeypatch):
     npt.assert_array_almost_equal(got, expect)
 
 
+def test_cgls_ill_conditioned(monkeypatch):
+    """Jacobi-preconditioned CGLS on a cond >= 1e6 system (column
+    scales spanning six orders of magnitude), 100k rows.  MKL's
+    multifrontal QR is a direct method and shrugs at conditioning
+    (``_sparse_qr_solver.py:61-101``); the iterative large-m route must
+    match that robustness — unpreconditioned CGLS stalls here, the
+    column-equilibrated loop converges in O(100) iterations."""
+    import sparse_dot_tpu.solvers.qr as qr_mod
+
+    m, k = 100_000, 80
+    rng = np.random.default_rng(7)
+    A0 = sps.random(m, k, density=5e-4, format="csr",
+                    dtype=np.float64, random_state=7)
+    tail = sps.csr_matrix(
+        (np.ones(k), (np.arange(m - k, m), np.arange(k))), shape=(m, k)
+    )
+    A0 = (A0 + tail).tocsr()
+    # Column scaling spanning 1e6 drives cond(A) past 1e6.
+    scales = np.logspace(0, -6, k)
+    A = (A0 @ sps.diags(scales)).tocsr()
+    x_true = rng.standard_normal((k,))
+    b = A @ x_true  # consistent system: lstsq solution IS x_true
+
+    monkeypatch.setattr(qr_mod, "_QR_DENSIFY_BUDGET", 1)  # force CGLS
+    got = sparse_qr_solve(A, b)
+    rel_err = np.linalg.norm(got - x_true) / np.linalg.norm(x_true)
+    assert rel_err < 1e-8, f"ill-conditioned solve inaccurate: {rel_err}"
+    iters = qr_mod._last_cgls_iters
+    assert iters is not None and iters <= 500, (
+        f"preconditioned CGLS iteration growth not bounded: {iters}"
+    )
+
+
 def test_million_row_least_squares():
     """BASELINE config 5 scale on one chip: 1M rows, sparse A, CGLS.
     The dense lstsq oracle is unaffordable at this size, so optimality
