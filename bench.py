@@ -158,25 +158,26 @@ def _measure_hbm_bw():
     return (k_passes * x.size * 4) / dt / 1e9
 
 
-def _measure_gather_bw():
+def _measure_gather_bw(k_rows=10000):
     """Achievable bandwidth (GB/s) of random B-row gathers at the SpMM
-    granules (512 B f32 rows, 1 KB hi|lo f64 rows).
+    granules (512 B f32 rows, 1 KB hi|lo f64 rows) from a table of
+    ``k_rows`` rows.
 
-    This is the honest SpMM roofline denominator: streaming bandwidth
-    is unreachable by ANY row-gather algorithm at these granule sizes
-    (DRAM efficiency), so speed-of-light for gather-formulated SpMM is
-    the hardware's measured gather capability, the same way the SpGEMM
-    numeric roof uses the measured MXU rate."""
+    This is the honest SpMM roofline denominator — PROVIDED the table
+    size matches the benchmark's B, so probe and kernel face the same
+    memory level.  Round 4 probed a 5 MB table and reported 2911 GB/s
+    (cache-resident — "impossible" next to the streaming roof);
+    round 5's first fix probed a 128 MB HBM-resident table and the
+    10k-row benchmark then "beat speed of light" 3x, because ITS B
+    panel is on-chip resident.  Neither mismatch adjudicates anything:
+    the roof must be measured at the benchmark's own working set
+    (k_rows=10000 for the BASELINE config-1 shapes), with the
+    HBM-sized variant reported alongside for scale-out context."""
     import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(5)
-    # The gathered table must DWARF on-chip memory (VMEM ~128 MB on
-    # v5e): round 4's 5 MB table was cache-resident, and the "gather
-    # roof" read 2911 GB/s — 2.3x the streaming roof, physically
-    # impossible for HBM gathers (VERDICT r4 weak #3).  At 128 MB+ the
-    # probe faces HBM like a real SpMM's B panel does.
-    k, nnz = 1 << 18, 1 << 20
+    k, nnz = k_rows, 1 << 20
     ridx = rng.integers(0, k, nnz).astype(np.int32)
     out = {}
     from jax import lax
@@ -602,16 +603,20 @@ def main():
     # streaming-bandwidth model put speed-of-light 4x beyond what any
     # gather implementation can reach, making the % unactionable.
     n_cols = 128
-    gather_bw_raw = _measure_gather_bw()
-    # Sanity clamp (VERDICT r4 weak #3): no HBM gather can beat the
-    # streaming roof; a probe above it was cache-resident or folded.
-    # Clamped granules are listed so the record is self-describing.
-    gather_bw, gather_clamped = {}, []
-    for gname, gval in gather_bw_raw.items():
+    # Matched-working-set roof: the table equals the benchmark B's row
+    # count (10k rows => ~5-10 MB, on-chip resident like the kernel's
+    # B panel).  Values here MAY exceed the HBM streaming roof — that
+    # is VMEM bandwidth, physical and expected at this working set —
+    # so no stream clamp applies; the model note travels with the SoL.
+    gather_bw = _measure_gather_bw(k_rows=10000)
+    # HBM-sized variant (working set >> on-chip memory) for context;
+    # HERE a value above the streaming roof is impossible and clamps.
+    gather_bw_hbm, gather_clamped = {}, []
+    for gname, gval in _measure_gather_bw(k_rows=1 << 18).items():
         if gval is not None and gval > hbm_bw:
             gather_clamped.append(gname)
             gval = hbm_bw
-        gather_bw[gname] = gval
+        gather_bw_hbm[gname] = gval
 
     def _sol_ms(gather_key, elem_bytes, idx_bytes):
         g = gather_bw[gather_key]
@@ -877,10 +882,25 @@ def main():
             "gather_bw_512_sorted_gbps": _r(gather_bw["512_sorted"], 1),
             "gather_bw_1024_sorted_gbps": _r(
                 gather_bw["1024_sorted"], 1),
-            "gather_roof_clamped_to_stream": gather_clamped,
+            "gather_roof_note": (
+                "gather_bw_* probed on a 10k-row table matching the "
+                "benchmark B's working set (on-chip resident; may "
+                "legitimately exceed the HBM streaming roof); "
+                "gather_bw_hbm_* probed on a 2^18-row HBM-resident "
+                "table and stream-clamped"
+            ),
+            "gather_bw_hbm_512_sorted_gbps": _r(
+                gather_bw_hbm["512_sorted"], 1),
+            "gather_bw_hbm_1024_sorted_gbps": _r(
+                gather_bw_hbm["1024_sorted"], 1),
+            "gather_hbm_roof_clamped_to_stream": gather_clamped,
             "spmm_f64_sol_pct": spmm_sol,
             "spmm_f64_sol_ms": spmm_sol_ms,
             "spmm_f32_sol_pct": spmm32_sol,
+            "spmm_sol_model_suspect": bool(
+                (spmm_sol is not None and spmm_sol > 100.0)
+                or (spmm32_sol is not None and spmm32_sol > 100.0)
+            ),
             "spgemm_numeric_sol_pct": spgemm_sol,
             "spgemm_numeric_sol_note": spgemm_sol_note,
             "spgemm_e2e_minus_transfer_ms": _r(e2e_minus_transfer),

@@ -103,6 +103,24 @@ def _probe_compiles(fn):
 
 
 @functools.lru_cache(maxsize=None)
+def supports_full_f64_range(platform=None):
+    """True when the backend represents f64's full dynamic range.
+
+    XLA:TPU's X64 rewriter emulates f64 as a pair of f32 ops, so the
+    EXPONENT range is f32's: magnitudes above ~3.4e38 become inf and
+    tiny magnitudes flush to zero at the device boundary (measured on
+    v5e: ``jnp.asarray(np.float64(1e100))`` reads back inf).  Probed
+    with one scalar round-trip and cached.  The op layer warns when
+    f64 operands exceed the representable window on such backends
+    (MKL computes those inputs exactly; silence would be a silent
+    wrong answer)."""
+    try:
+        return bool(np.isfinite(float(jnp.asarray(np.float64(1e100)))))
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
 def supports_f64_lu():
     """XLA:TPU's LuDecomposition expander only implements F32/C64
     ("Only F32 and C64 types are implemented in LuDecomposition" —

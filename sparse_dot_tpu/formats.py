@@ -775,6 +775,47 @@ def sparse_output_type(x):
 
 _DEVICE_CLASSES = {"csr": CSR, "csc": CSC, "bsr": BSR}
 
+# f32's representable window: the dynamic range of f64 on backends
+# whose X64 rewriter emulates f64 as f32 pairs (TPU).
+_F64_RANGE_MAX = 3.4e38
+_F64_RANGE_MIN = 1e-38
+_warned_f64_range = [False]
+
+
+def _warn_f64_range(data_np):
+    """Warn ONCE when f64 host values exceed the active backend's
+    representable f64 window (X64 pair emulation on TPU: |x| > ~3.4e38
+    transfers as inf, tiny magnitudes flush to 0 — measured at the
+    device boundary, before any kernel).  MKL computes such inputs
+    exactly, so silence here would be a silent wrong answer; CPU
+    backends represent full f64 and never warn."""
+    if _warned_f64_range[0]:
+        return
+    d = np.asarray(data_np)
+    if d.dtype not in (np.float64, np.complex128) or d.size == 0:
+        return
+    a = np.abs(d.reshape(-1))
+    mx = float(a.max())
+    if np.isfinite(mx) and mx <= _F64_RANGE_MAX:
+        nz = a[a > 0]
+        if nz.size == 0 or float(nz.min()) >= _F64_RANGE_MIN:
+            return
+    from . import backend as _backend
+
+    if _backend.supports_full_f64_range():
+        return
+    _warned_f64_range[0] = True
+    import warnings
+
+    warnings.warn(
+        "sparse_dot_tpu: float64 operand magnitudes exceed this "
+        "backend's representable f64 range (the X64 rewriter emulates "
+        "f64 with f32-pair arithmetic: |x| > ~3.4e38 transfers as inf, "
+        "|x| < ~1e-38 flushes toward zero).  Results will saturate; "
+        "run on a CPU backend for full-range f64.",
+        RuntimeWarning,
+    )
+
 
 # ---------------------------------------------------------------------------
 # Host->device transfer cache
@@ -845,6 +886,7 @@ def to_device(mat):
             "Input matrices must be CSR, CSC, or BSR; "
             f"{mat.format.upper()} is not supported"
         )
+    _warn_f64_range(mat.data)
     if not _cache_enabled():
         return _DEVICE_CLASSES[mat.format].from_scipy(mat)
 

@@ -218,12 +218,35 @@ def _sorted_set_scatter_one(dest, vals, size):
 
 def sorted_set_scatter(dest, vals, size):
     """out[dest] = vals with sorted, unique ``dest``; out-of-range
-    destinations dropped.  f64 uses the hi/lo split."""
+    destinations dropped.
+
+    f64 uses the hi/lo split — WHEN the values allow it.  The split is
+    exact to ~2^-49 only inside f32's range: |x| > ~3.4e38 saturates
+    to inf (then inf + -inf = NaN on recombine) and |x| below the f32
+    subnormal floor flushes to zero.  Those are legal f64 inputs the
+    library's MKL-parity contract must handle, so the program checks
+    the range ON DEVICE (two cheap reductions) and ``lax.cond``s to a
+    plain f64 scatter (X64-pair, ~7x slower — correctness first) when
+    the fast form would corrupt.  NaN/inf inputs also take the exact
+    branch, propagating faithfully."""
     if vals.dtype == jnp.float64:
-        hi, lo = _ozaki.hilo(vals)
-        hib = _sorted_set_scatter_one(dest, hi, size)
-        lob = _sorted_set_scatter_one(dest, lo, size)
-        return hib.astype(jnp.float64) + lob.astype(jnp.float64)
+        if vals.size == 0:
+            return _sorted_set_scatter_one(dest, vals, size)
+        a = jnp.abs(vals)
+        mx = jnp.max(a)
+        nz_min = jnp.min(jnp.where(a == 0, jnp.inf, a))
+        ok = (mx <= 3e38) & (nz_min >= 1e-37)  # False for NaN mx
+
+        def fast(v):
+            hi, lo = _ozaki.hilo(v)
+            hib = _sorted_set_scatter_one(dest, hi, size)
+            lob = _sorted_set_scatter_one(dest, lo, size)
+            return hib.astype(jnp.float64) + lob.astype(jnp.float64)
+
+        def exact(v):
+            return _sorted_set_scatter_one(dest, v, size)
+
+        return lax.cond(ok, fast, exact, vals)
     return _sorted_set_scatter_one(dest, vals, size)
 
 

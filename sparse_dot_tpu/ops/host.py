@@ -32,6 +32,66 @@ from . import _xla
 
 
 # ---------------------------------------------------------------------------
+# f32-range policy for the hi|lo fast paths
+# ---------------------------------------------------------------------------
+
+_HILO_ABS_MAX = 3.0e38   # just under f32 max
+_HILO_ABS_MIN = 1.0e-37  # above the f32 subnormal flush floor
+
+
+def _hilo_range_ok(arr_np):
+    """Host-side check that a numpy operand's magnitudes fit the f32
+    hi|lo window (the split saturates above ~3.4e38 and flushes below
+    the f32 subnormal floor — see ``_xla.sorted_set_scatter``)."""
+    a = np.abs(np.asarray(arr_np).reshape(-1))
+    if a.size == 0:
+        return True
+    mx = float(a.max())
+    if not np.isfinite(mx) or mx > _HILO_ABS_MAX:
+        return False
+    nz = a[a > 0]
+    return nz.size == 0 or float(nz.min()) >= _HILO_ABS_MIN
+
+
+def _container_hilo_ok(M):
+    """Like :func:`_hilo_range_ok` for a device container's values,
+    computed ONCE per data buffer with a device reduction and a single
+    two-scalar read, then cached on the container.  Gates the Ozaki /
+    packed paths whose hi|lo encoding assumes the f32 range."""
+    cached = getattr(M, "_hilo_ok_cache", None)
+    if cached is not None and cached[0] is M.data:
+        return cached[1]
+    parts = [M.data]
+    if getattr(M, "planar", False):
+        try:
+            parts.append(M.imag_view().data)
+        except Exception:
+            pass
+    ok = True
+    for d in parts:
+        flat = d.reshape(-1)
+        if flat.size == 0:
+            continue
+        a = jnp.abs(flat)
+        pair = np.asarray(jnp.stack([
+            jnp.max(a),
+            jnp.min(jnp.where(a == 0, jnp.inf, a)),
+        ]))
+        mx, nzmin = float(pair[0]), float(pair[1])
+        if not np.isfinite(mx) or mx > _HILO_ABS_MAX:
+            ok = False
+            break
+        if np.isfinite(nzmin) and nzmin < _HILO_ABS_MIN:
+            ok = False
+            break
+    try:
+        M._hilo_ok_cache = (M.data, ok)
+    except Exception:
+        pass
+    return ok
+
+
+# ---------------------------------------------------------------------------
 # container lowering
 # ---------------------------------------------------------------------------
 
@@ -103,9 +163,13 @@ def _combine_planar(re_np, im_np, dtype):
 
 
 def _real_spmm(A, a_data, b_dev, transpose, alpha=None, beta=None,
-               c0=None):
+               c0=None, split_ok=True):
     """One real SpMM pass: returns a device (m, n) array holding
     ``alpha * op(A) @ b + beta * c0`` (each epilogue term optional).
+
+    ``split_ok=False`` (callers pass a host range check of b) disables
+    the hi|lo b split and the Ozaki route, keeping f64 exact when the
+    operand magnitudes are outside the f32 window.
 
     Path choice (TPU): Pallas block kernel for MXU-aligned BSR, then the
     measured-cost crossover between sorted-flat densify + MXU matmul and
@@ -181,7 +245,7 @@ def _real_spmm(A, a_data, b_dev, transpose, alpha=None, beta=None,
                 segs, cols_flat, vals_flat, invpos = binned
                 return _xla.ell_spmm_binned(
                     cols_flat, vals_flat, b_dev, invpos, segs=segs,
-                    split_b=b_dev.dtype == jnp.float64,
+                    split_b=split_ok and b_dev.dtype == jnp.float64,
                     alpha=alpha, beta=beta, c0=c0,
                 )
         ell = A.ell_parts(data=a_data)
@@ -195,7 +259,10 @@ def _real_spmm(A, a_data, b_dev, transpose, alpha=None, beta=None,
     if not jnp.iscomplexobj(a_data) and _xla._prefer_densify(
         m, k, n, nnz, a_data.dtype
     ):
-        use_oz = _xla._ozaki.enabled(a_data.dtype, k, m * k * n)
+        use_oz = (
+            _xla._ozaki.enabled(a_data.dtype, k, m * k * n)
+            and split_ok and _container_hilo_ok(A)
+        )
         planes = (
             A.dense_planes(a_data, hilo=use_oz, with_indicator=False)
             if _seen_before(A) else None
@@ -288,7 +355,9 @@ def _use_pallas_bsr(A, b_dev):
 
 
 def _real_spmv(A, a_data, x_dev, transpose, alpha=None, beta=None,
-               c0=None):
+               c0=None, split_ok=True):
+    # split_ok accepted for signature parity with _real_spmm; both
+    # SpMV kernels (per-row ELL gather, COO scatter) keep f64 exact.
     m, k = A.shape
     nnz = int(a_data.reshape(-1).shape[0])
     if _prefer_ell(A, a_data, m, k, 1, nnz, transpose):
@@ -325,11 +394,20 @@ def _bilinear_host(A, b_np, one_pass, out_dtype, alpha=1.0,
         # contract C := alpha*A*B + beta*C, ``_sparse_dense.py:111-123``).
         a_trivial = isinstance(alpha, (int, float)) and alpha == 1.0
         c0 = jnp.asarray(np.asarray(out)) if out is not None else None
+        # Host-side range gate for the kernels' hi|lo b split (f64
+        # only; trivially ok otherwise) — out-of-window magnitudes
+        # route to the exact-f64 forms.
+        split_ok = (
+            np.dtype(np.asarray(b_np).dtype) != np.float64
+            or _hilo_range_ok(b_np)
+        )
+        if not split_ok:
+            formats._warn_f64_range(np.asarray(b_np))
         res = one_pass(
             A, ar, jnp.asarray(np.asarray(b_np)), transpose,
             alpha=None if a_trivial else alpha,
             beta=beta if c0 is not None else None,
-            c0=c0,
+            c0=c0, split_ok=split_ok,
         )
         return np.asarray(res).astype(out_dtype, copy=False)
     else:
@@ -536,7 +614,10 @@ def _spgemm_dense_real(A, a_data, B, b_data, with_count=False,
                        triangular=False):
     m, k = A.shape
     n = B.shape[1]
-    use_oz = _xla._ozaki.enabled(a_data.dtype, k, m * k * n)
+    use_oz = (
+        _xla._ozaki.enabled(a_data.dtype, k, m * k * n)
+        and _container_hilo_ok(A) and _container_hilo_ok(B)
+    )
     planes = _planes_for(A, a_data, B, b_data, use_oz)
     if planes is not None:
         a_num, _, a_cm, b_num, _, b_cm, syrk = planes
@@ -642,8 +723,11 @@ def _blocked_spgemm_arrays(A, B, out_dtype, triangular):
     n = B.shape[1]
     indptr_np = np.asarray(A.indptr)
 
-    use_oz = _xla._ozaki.enabled(
-        A.data.dtype, k, min(m, _SPGEMM_ROW_BLOCK) * k * n
+    use_oz = (
+        _xla._ozaki.enabled(
+            A.data.dtype, k, min(m, _SPGEMM_ROW_BLOCK) * k * n
+        )
+        and _container_hilo_ok(A) and _container_hilo_ok(B)
     )
     # One dispatch for the whole B prep (numeric densify, hi/lo split
     # for the Ozaki path, bf16 indicator) — cached per B data buffer
@@ -918,6 +1002,13 @@ def _spgemm_esc_arrays_impl(A, B, out_dtype, triangular=False):
         getattr(config, "spgemm_esc_packed", True)
         and n < (1 << 24)
         and B.indices.size < (1 << 24)
+        # The packed kernel's f64 channels travel as hi|lo f32 pairs:
+        # magnitudes outside the f32 window route to the scalar-gather
+        # kernel, which keeps values in native f64 (exact).
+        and (
+            not chan64
+            or (_container_hilo_ok(A) and _container_hilo_ok(B))
+        )
     )
     b_pack = (
         _xla.esc_pack_b(b_indices_dev, b_chans, chan64=chan64)
@@ -1333,7 +1424,10 @@ def _spgemm_routed(A, B, out_dtype, triangular):
         # four-dispatch planar detour.  Cached channel planes (round 4)
         # skip the 4 densify scatters in steady state.
         ar, ai = _value_channels(A, 2)
-        use_oz = _xla._ozaki.enabled(ar.dtype, k, m * k * n)
+        use_oz = (
+            _xla._ozaki.enabled(ar.dtype, k, m * k * n)
+            and _container_hilo_ok(A) and _container_hilo_ok(B)
+        )
         syrk = _is_syrk_pair_pattern(A, B)
         seen_a = _seen_before(A)
         seen_b = True if syrk else _seen_before(B)
@@ -1380,7 +1474,10 @@ def _spgemm_routed(A, B, out_dtype, triangular):
         # ONE readback (dense | packed mask bits in a single buffer —
         # each extra read costs a tunnel round-trip), then numpy
         # compaction.  Cached planes skip the densify scatters.
-        use_oz = _xla._ozaki.enabled(A.data.dtype, k, m * k * n)
+        use_oz = (
+            _xla._ozaki.enabled(A.data.dtype, k, m * k * n)
+            and _container_hilo_ok(A) and _container_hilo_ok(B)
+        )
         planes = _planes_for(A, A.data, B, B.data, use_oz)
         if planes is not None:
             a_num, ind_a, a_cm, b_num, ind_b, b_cm, syrk = planes
@@ -1452,7 +1549,10 @@ def _spgemm_structural_real(A, a_data, B, b_data, triangular=False):
     """One fused dispatch: numeric dense + structural mask + count."""
     m, k = A.shape
     n = B.shape[1]
-    use_oz = _xla._ozaki.enabled(a_data.dtype, k, m * k * n)
+    use_oz = (
+        _xla._ozaki.enabled(a_data.dtype, k, m * k * n)
+        and _container_hilo_ok(A) and _container_hilo_ok(B)
+    )
     planes = _planes_for(A, a_data, B, b_data, use_oz)
     if planes is not None:
         a_num, ind_a, a_cm, b_num, ind_b, b_cm, syrk = planes
@@ -1534,6 +1634,7 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         use_gather = (
             np.dtype(real_dtype) == np.float64
             and _xla._ozaki.enabled(real_dtype, k, m * k * n)
+            and _container_hilo_ok(A) and _container_hilo_ok(B)
         )
         vkey = src if use_gather else dest
         struct_bytes = int(vkey.size) * 4 + (nnz + m + 1) * 8
@@ -1552,7 +1653,10 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         # only on the operand structures, so a token-cache hit can only
         # mismatch if the cache was poisoned — the in-band check still
         # guards it.
-        use_oz = _xla._ozaki.enabled(real_dtype, k, m * k * n)
+        use_oz = (
+            _xla._ozaki.enabled(real_dtype, k, m * k * n)
+            and _container_hilo_ok(A) and _container_hilo_ok(B)
+        )
         prev_bad = _check_state["bad"]
         if prev_bad is None:
             prev_bad = jnp.zeros((), jnp.bool_)

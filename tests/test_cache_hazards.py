@@ -128,5 +128,73 @@ class TestStructureTokens(unittest.TestCase):
         self.assertIs(A.T, A.T)
 
 
+class TestSteadyStateValueRange(unittest.TestCase):
+    """f64 SpGEMM steady state (plane + extraction-structure caches)
+    must move values EXACTLY when the Ozaki gate is off (e.g. CPU):
+    the hi|lo pair gather re-rounds at ~2^-49 and saturates outside
+    f32 range, so the driver must pick the exact scatter (ADVICE r4:
+    repeat calls silently differed from the first on legal f64)."""
+
+    def test_repeat_calls_exact_beyond_f32_range(self):
+        rng = np.random.default_rng(41)
+        A = sps.random(80, 120, density=0.1, format="csr",
+                       dtype=np.float64, random_state=41)
+        B = sps.random(120, 60, density=0.1, format="csr",
+                       dtype=np.float64, random_state=42)
+        A.data *= 1e200  # |values| far beyond f32 range
+        B.data *= 1e50   # products ~1e250: legal f64, impossible f32
+        oracle = (A @ B).toarray()
+        first = dot_product(A, B).toarray()
+        np.testing.assert_allclose(first, oracle, rtol=1e-14)
+        for _ in range(3):  # steady state: plane + struct cache hits
+            again = dot_product(A, B).toarray()
+            self.assertTrue(np.isfinite(again).all())
+            np.testing.assert_allclose(again, first, rtol=1e-14)
+
+    def test_spmm_b_beyond_f32_range(self):
+        # The SpMM kernels' hi|lo b split must be bypassed when b's
+        # magnitudes are outside the f32 window.
+        from sparse_dot_tpu import dot_product_mkl
+
+        A = sps.random(300, 400, density=0.05, format="csr",
+                       dtype=np.float64, random_state=43)
+        b = np.random.default_rng(44).standard_normal((400, 8)) * 1e60
+        got = dot_product_mkl(A, b)
+        self.assertTrue(np.isfinite(got).all())
+        np.testing.assert_allclose(got, A @ b, rtol=1e-13)
+
+    def test_esc_sort_kernel_beyond_f32_range(self):
+        # The ESC sort kernel must route to the scalar-gather form
+        # (native-f64 values) when magnitudes exceed the packed
+        # kernel's f32 channel window.
+        from sparse_dot_tpu.ops.host import spgemm_esc_arrays
+
+        A = sps.random(150, 200, density=0.05, format="csr",
+                       dtype=np.float64, random_state=45)
+        B = sps.random(200, 120, density=0.05, format="csr",
+                       dtype=np.float64, random_state=46)
+        A.data *= 1e200
+        B.data *= 1e50
+        old = config.spgemm_esc_force_sort
+        config.spgemm_esc_force_sort = True
+        try:
+            for _ in range(2):  # cold + pattern-cached repeat
+                data, indices, indptr = spgemm_esc_arrays(
+                    formats.to_device(A), formats.to_device(B),
+                    np.float64,
+                )
+                got = sps.csr_matrix(
+                    (data, indices, indptr), shape=(150, 120)
+                )
+                d = abs(got - (A @ B).tocsr())
+                self.assertTrue(np.isfinite(data).all())
+                self.assertLess(
+                    float(d.max()) if d.nnz else 0.0,
+                    1e-14 * 1e250,
+                )
+        finally:
+            config.spgemm_esc_force_sort = old
+
+
 if __name__ == "__main__":
     unittest.main()

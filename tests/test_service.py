@@ -77,3 +77,29 @@ def test_debug_mode_flag():
         pass
     with pytest.raises(ValueError):
         sdt.set_debug_mode("yes")
+
+
+def test_full_f64_range_capability_and_no_warning_on_cpu():
+    """CPU backends represent full f64; the range warning must NOT
+    fire there, and the capability probe must say so.  (On TPU the
+    X64 pair emulation caps the exponent range at f32's; the op layer
+    warns — exercised by the TPU verify drive, not the CPU suite.)"""
+    import warnings
+
+    import numpy as np
+    import scipy.sparse as sps
+
+    from sparse_dot_tpu import backend, dot_product
+
+    assert backend.supports_full_f64_range() is True
+    A = sps.random(40, 50, density=0.2, format="csr",
+                   dtype=np.float64, random_state=3)
+    A.data *= 1e200
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = dot_product(A, A.T.tocsc())
+    assert not any("representable f64 range" in str(x.message)
+                   for x in w)
+    oracle = (A @ A.T).toarray()
+    np.testing.assert_allclose(got.toarray(), oracle,
+                               rtol=1e-12, atol=0)

@@ -443,3 +443,79 @@ class TestEllKillSwitch(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestEllHiloRangeGate(unittest.TestCase):
+    """The binned-ELL loops split f64 iterates into hi|lo f32 pairs —
+    exact inside f32's range, but |x| beyond ~3.4e38 saturates to inf.
+    b outside that range must route to the exact-f64 gather
+    (``_hilo_safe`` gate, ADVICE r4) and still solve correctly."""
+
+    def _system(self):
+        n = 2000
+        rng = np.random.default_rng(29)
+        nnz = 40_000
+        M = sps.csr_matrix(
+            (rng.standard_normal(nnz),
+             (rng.integers(0, n, nnz), rng.integers(0, n, nnz))),
+            shape=(n, n),
+        )
+        M.sum_duplicates()
+        A = (0.05 * (M + M.T) + 20.0 * sps.identity(n)).tocsr()
+        x_true = rng.standard_normal(n) * 1e60  # far beyond f32 range
+        return A, x_true, A @ x_true
+
+    def test_cg_huge_scale(self):
+        from sparse_dot_tpu import cg
+
+        A, x_true, b = self._system()
+        x, code = cg(A, b, tol=1e-12)
+        self.assertEqual(code, 0)
+        self.assertTrue(np.isfinite(x).all())
+        npt.assert_allclose(x, x_true, rtol=1e-8)
+
+    def test_fgmres_huge_scale(self):
+        from sparse_dot_tpu import fgmres
+
+        A, x_true, b = self._system()
+        x, code = fgmres(A, b, tol=1e-12)
+        self.assertEqual(code, 0)
+        self.assertTrue(np.isfinite(x).all())
+        npt.assert_allclose(x, x_true, rtol=1e-7)
+
+    def test_cg_mrhs_huge_scale(self):
+        from sparse_dot_tpu.solvers import cg_mrhs
+
+        A, x_true, b = self._system()
+        B = np.stack([b, 2.0 * b], axis=1)
+        X, codes = cg_mrhs(A, B, tol=1e-12)
+        self.assertTrue((codes == 0).all())
+        self.assertTrue(np.isfinite(X).all())
+        npt.assert_allclose(X[:, 0], x_true, rtol=1e-8)
+
+    def test_qr_cgls_huge_scale(self):
+        from sparse_dot_tpu import sparse_qr_solve_mkl
+        from sparse_dot_tpu.solvers import qr as _qr
+
+        old = _qr._QR_DENSIFY_BUDGET
+        _qr._QR_DENSIFY_BUDGET = 1  # force the CGLS route
+        try:
+            m, k = 3000, 400
+            rng = np.random.default_rng(31)
+            nnz = 30_000
+            A = sps.csr_matrix(
+                (rng.standard_normal(nnz),
+                 (rng.integers(0, m, nnz), rng.integers(0, k, nnz))),
+                shape=(m, k),
+            )
+            A = A + sps.vstack(
+                [4.0 * sps.identity(k), sps.csr_matrix((m - k, k))]
+            ).tocsr()
+            A.sum_duplicates()
+            xt = rng.standard_normal(k) * 1e60
+            b = A @ xt
+            x = sparse_qr_solve_mkl(A.tocsr(), b)
+            self.assertTrue(np.isfinite(x).all())
+            npt.assert_allclose(x, xt, rtol=1e-8)
+        finally:
+            _qr._QR_DENSIFY_BUDGET = old
