@@ -108,6 +108,17 @@ class _Config:
         # library's decimal=6 contract; set False for bit-exact f64
         # sparse-sparse products.
         self.spgemm_esc_packed = True
+        # Sort-free steady-state ESC: cache the sorted-order
+        # permutation + head-compaction gather per output pattern so
+        # repeats skip the block sort entirely (value movement only).
+        # Same hi|lo product transport (and so the same ~2^-48
+        # re-rounding contract) as the packed kernel; the driver
+        # additionally range-gates PRODUCTS, not just operands.  False
+        # pins every call to the sorting kernels.
+        self.spgemm_esc_sort_free = True
+        # Device-byte budget for the cached sort-free structures
+        # (sidx + head_src per block).
+        self.spgemm_esc_struct_cache_bytes = 1 << 28
         # Ozaki-scheme f64 matmul (exact bf16 slice products on the
         # MXU instead of XLA's ~0.4 TF/s f64 emulation): "auto" enables
         # it on accelerator backends for large matmuls, "1"/"always"

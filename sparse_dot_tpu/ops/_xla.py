@@ -1862,6 +1862,21 @@ def esc_spgemm_block_packed(a_pack, offsets, e_total, b_pack,
     flag — see :func:`_esc_sort_compress`.
     """
     kdt = jnp.int64 if key64 else jnp.int32
+    row, col, valid, chans = _esc_expand_packed(
+        a_pack, offsets, e_total, b_pack, row_offset,
+        e_pad=e_pad, nchan=nchan, chan64=chan64, triangular=triangular,
+    )
+    row_k = jnp.where(valid, row.astype(kdt), mb)
+    key = row_k * n + jnp.where(valid, col.astype(kdt), 0)
+    return _esc_sort_compress(key, chans, e_pad, mb, n, kdt,
+                              dup_passes, perm_sort)
+
+
+def _esc_expand_packed(a_pack, offsets, e_total, b_pack, row_offset,
+                       e_pad, nchan, chan64, triangular):
+    """Shared expansion front half of the packed ESC kernels: returns
+    (row i32, col i32, valid, chans) per expansion slot — two windowed
+    gathers total (see :func:`esc_spgemm_block_packed`)."""
     nnz_pad = a_pack.shape[0]
     t = jnp.arange(e_pad, dtype=offsets.dtype)
     j = segment_ids_from_offsets(offsets, e_pad, nnz_pad - 1)
@@ -1872,12 +1887,10 @@ def esc_spgemm_block_packed(a_pack, offsets, e_total, b_pack,
         ga[:, 1].astype(jnp.int32) + pos, 0, b_pack.shape[0] - 1
     )
     gb = b_pack[bpos]  # (e_pad, wb) — windowed gather #2
-    row = ga[:, 0].astype(kdt)
-    col = gb[:, 0].astype(kdt)
+    row = ga[:, 0].astype(jnp.int32)
+    col = gb[:, 0].astype(jnp.int32)
     if triangular:
         valid = valid & (col >= row + row_offset)
-    row = jnp.where(valid, row, mb)
-    key = row * n + jnp.where(valid, col, 0)
 
     cw = 2 if chan64 else 1
 
@@ -1898,8 +1911,151 @@ def esc_spgemm_block_packed(a_pack, offsets, e_total, b_pack,
             jnp.where(valid, ar * br - ai * bi, 0),
             jnp.where(valid, ar * bi + ai * br, 0),
         )
-    return _esc_sort_compress(key, chans, e_pad, mb, n, kdt,
-                              dup_passes, perm_sort)
+    return row, col, valid, chans
+
+
+@partial(
+    jax.jit,
+    static_argnames=("e_pad", "mb", "n", "nchan", "chan64", "key64",
+                     "triangular"),
+)
+def esc_extract_structure_packed(a_pack, offsets, e_total, b_pack,
+                                 row_offset, e_pad, mb, n, nchan,
+                                 chan64, key64, triangular=False):
+    """One-time STRUCTURE extraction for the sort-free steady-state
+    ESC kernel: the expansion-slot -> sorted-position permutation
+    (``sidx``) and the sorted positions of the unique-key heads
+    (``head_src``, compacted to the front; tail garbage, callers slice
+    [:count]).  Both depend only on the operand structures, so the
+    driver caches them per pattern and steady-state repeats replace
+    the 4M-slot i64 sort — the dominant kernel phase on the 1M x 1M
+    workload — with windowed gathers
+    (:func:`esc_spgemm_block_cached`).
+
+    Returns (sidx i32 (e_pad,), head_src i32 (e_pad,), count)."""
+    kdt = jnp.int64 if key64 else jnp.int32
+    row, col, valid, _ = _esc_expand_packed(
+        a_pack, offsets, e_total, b_pack, row_offset,
+        e_pad=e_pad, nchan=nchan, chan64=chan64, triangular=triangular,
+    )
+    row_k = jnp.where(valid, row.astype(kdt), mb)
+    key = row_k * n + jnp.where(valid, col.astype(kdt), 0)
+    iota = jnp.arange(e_pad, dtype=jnp.int32)
+    # Stable: duplicate keys keep expansion order, making sidx (and so
+    # every steady-state summation order) deterministic.
+    skey, sidx = lax.sort((key, iota), dimension=0, num_keys=1,
+                          is_stable=True)
+    svalid = skey < jnp.asarray(mb, kdt) * n
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), skey[1:] != skey[:-1]]
+    ) & svalid
+    count = jnp.sum(head.astype(jnp.int32))
+    # Head positions compacted to the front by a rank sort (a hinted
+    # set-scatter would lie about sortedness — see _esc_sort_compress).
+    pos = prefix_sum(head) - 1
+    rank = jnp.where(head, pos, e_pad)
+    _, head_src = lax.sort((rank, iota), dimension=0, num_keys=1)
+    return sidx, head_src, count
+
+
+@partial(
+    jax.jit,
+    static_argnames=("e_pad", "mb", "n", "nchan", "chan64",
+                     "dup_passes", "triangular"),
+)
+def esc_spgemm_block_cached(a_pack, offsets, e_total, b_pack,
+                            row_offset, sidx, head_src, e_pad, mb, n,
+                            nchan, chan64, dup_passes,
+                            triangular=False):
+    """Sort-free steady-state ESC block from a CACHED structure.
+
+    With the output pattern known (count-validated by the driver), the
+    per-call work is value movement only: expand (two windowed
+    gathers), permute into sorted order through ``sidx`` (ONE windowed
+    gather of a packed [row, col, value-channels] f32 plane — rows and
+    cols ride along to drive the duplicate masks and the in-band count
+    check), exact f64 doubling-pass duplicate sums, and one
+    ``head_src`` windowed gather to compact.  No sort, no searchsorted:
+    the 1M x 1M block's ~1.2 s i64 sort becomes ~100 ms of gathers.
+
+    The f64 channels move as hi|lo f32 pairs (exact to ~2^-49 INSIDE
+    the f32 range — the driver gates this path on the same range check
+    as the packed kernel; the duplicate SUMS run in full f64).
+
+    ``head_src`` arrives host-sliced to the count bucket, so the
+    output value buffers are (cnt_pad,).  Slots past the live count
+    are garbage; callers slice [:count].
+
+    Returns (vals... (cnt_pad,), count i32)."""
+    row, col, valid, chans = _esc_expand_packed(
+        a_pack, offsets, e_total, b_pack, row_offset,
+        e_pad=e_pad, nchan=nchan, chan64=chan64, triangular=triangular,
+    )
+    # Packed sorted-order plane: [row, col, value channels] — rows and
+    # cols are < 2^24 (driver-gated), exact in f32.
+    row_m = jnp.where(valid, row, mb).astype(jnp.float32)
+    col_m = jnp.where(valid, col, 0).astype(jnp.float32)
+    cols_ = [row_m, col_m]
+    for c in chans:
+        if chan64:
+            h, l = _ozaki.hilo(c)
+            cols_ += [h, l]
+        else:
+            cols_ += [c]
+    S = jnp.stack(cols_, axis=1)[sidx]  # the sort, as ONE gather
+    rows_s = S[:, 0]
+    cols_s = S[:, 1]
+    cw = 2 if chan64 else 1
+
+    def sval(cidx):
+        base = 2 + cidx * cw
+        if chan64:
+            return (S[:, base].astype(jnp.float64)
+                    + S[:, base + 1].astype(jnp.float64))
+        return S[:, base]
+
+    svals = [sval(c) for c in range(nchan)]
+    svalid = rows_s < mb
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         (rows_s[1:] != rows_s[:-1]) | (cols_s[1:] != cols_s[:-1])]
+    ) & svalid
+    count = jnp.sum(head.astype(jnp.int32))
+
+    # Exact in-segment suffix sums by doubling (same scheme as
+    # _esc_sort_compress, with the same-key mask from the row|col
+    # planes instead of the integer key).
+    for p in range(dup_passes):
+        sh = 1 << p
+        same = jnp.concatenate(
+            [(rows_s[sh:] == rows_s[:-sh])
+             & (cols_s[sh:] == cols_s[:-sh]),
+             jnp.zeros((sh,), jnp.bool_)]
+        )
+        for c in range(len(svals)):
+            shifted = jnp.concatenate(
+                [svals[c][sh:], jnp.zeros((sh,), svals[c].dtype)]
+            )
+            svals[c] = svals[c] + jnp.where(same, shifted, 0)
+
+    # Compact: one windowed gather of the packed summed channels.
+    comp_cols = []
+    for v in svals:
+        if chan64:
+            h, l = _ozaki.hilo(v)
+            comp_cols += [h, l]
+        else:
+            comp_cols += [v]
+    C = jnp.stack(comp_cols, axis=1)[head_src]
+
+    def cval(cidx):
+        base = cidx * cw
+        if chan64:
+            return (C[:, base].astype(jnp.float64)
+                    + C[:, base + 1].astype(jnp.float64))
+        return C[:, base]
+
+    return tuple(cval(c) for c in range(nchan)) + (count,)
 
 
 @partial(

@@ -53,21 +53,21 @@ def _hilo_range_ok(arr_np):
     return nz.size == 0 or float(nz.min()) >= _HILO_ABS_MIN
 
 
-def _container_hilo_ok(M):
-    """Like :func:`_hilo_range_ok` for a device container's values,
+def _container_range(M):
+    """(max_abs, min_nonzero_abs) of a device container's values,
     computed ONCE per data buffer with a device reduction and a single
-    two-scalar read, then cached on the container.  Gates the Ozaki /
-    packed paths whose hi|lo encoding assumes the f32 range."""
-    cached = getattr(M, "_hilo_ok_cache", None)
+    two-scalar read, then cached on the container.  Empty data ->
+    (0.0, inf)."""
+    cached = getattr(M, "_range_cache", None)
     if cached is not None and cached[0] is M.data:
         return cached[1]
+    mx_all, nzmin_all = 0.0, np.inf
     parts = [M.data]
     if getattr(M, "planar", False):
         try:
             parts.append(M.imag_view().data)
         except Exception:
             pass
-    ok = True
     for d in parts:
         flat = d.reshape(-1)
         if flat.size == 0:
@@ -78,17 +78,24 @@ def _container_hilo_ok(M):
             jnp.min(jnp.where(a == 0, jnp.inf, a)),
         ]))
         mx, nzmin = float(pair[0]), float(pair[1])
-        if not np.isfinite(mx) or mx > _HILO_ABS_MAX:
-            ok = False
-            break
-        if np.isfinite(nzmin) and nzmin < _HILO_ABS_MIN:
-            ok = False
-            break
+        mx_all = max(mx_all, mx) if np.isfinite(mx) else np.inf
+        nzmin_all = min(nzmin_all, nzmin)
+    out = (mx_all, nzmin_all)
     try:
-        M._hilo_ok_cache = (M.data, ok)
+        M._range_cache = (M.data, out)
     except Exception:
         pass
-    return ok
+    return out
+
+
+def _container_hilo_ok(M):
+    """True when the container's value magnitudes fit the f32 hi|lo
+    window (see :func:`_hilo_range_ok`).  Gates the Ozaki / packed
+    paths whose hi|lo encoding assumes the f32 range."""
+    mx, nzmin = _container_range(M)
+    if not np.isfinite(mx) or mx > _HILO_ABS_MAX:
+        return False
+    return not np.isfinite(nzmin) or nzmin >= _HILO_ABS_MIN
 
 
 # ---------------------------------------------------------------------------
@@ -1037,17 +1044,35 @@ def _spgemm_esc_arrays_impl(A, B, out_dtype, triangular=False):
     new_cnts = {}
     prof["pattern_cached"] = bool(use_pat)
 
+    # Sort-free steady state (round 5): per-block sidx/head_src device
+    # structures let repeats replace the block sort — the dominant
+    # kernel phase at 1M x 1M — with windowed gathers
+    # (``_xla.esc_spgemm_block_cached``).  The cached kernel moves f64
+    # PRODUCTS as hi|lo pairs, so it additionally gates on the product
+    # range (operand gating alone allows products up to ~(3.4e38)^2).
+    pat_dev = pat.get("dev") if use_pat else None
+    new_dev = {}
+    sort_free_on = bool(getattr(config, "spgemm_esc_sort_free", True))
+    if packed_ok and sort_free_on and chan64:
+        _mxA, _mnA = _container_range(A)
+        _mxB, _mnB = _container_range(B)
+        _dup = int(row_nnz.max()) if row_nnz.size else 1
+        _mn_prod = _mnA * _mnB
+        cached_k_ok = (
+            np.isfinite(_mxA) and np.isfinite(_mxB)
+            and _mxA * _mxB * max(_dup, 1) <= _HILO_ABS_MAX
+            and (not np.isfinite(_mn_prod) or _mn_prod == 0.0
+                 or _mn_prod >= _HILO_ABS_MIN)
+        )
+    else:
+        cached_k_ok = packed_ok and sort_free_on
+    prof["sort_free"] = bool(use_pat and pat_dev and cached_k_ok)
+
     # Deferred-sync machinery: block kernels are dispatched in waves of
     # ``_ESC_WAVE`` and their counts read back TOGETHER (one stacked
     # scalar transfer per wave instead of one 25 ms round-trip per
-    # block — the round-2 profile's single biggest ESC cost).  For
-    # LARGE blocks (>= _ESC_LARGE_EPAD expansion slots) the flush
-    # instead drains all-but-the-newest entry, so one kernel is always
-    # executing on device while the host reads the previous block over
-    # the link — compute/transfer overlap worth ~the whole kernel time
-    # on the 1M x 1M workload.
+    # block — the round-2 profile's single biggest ESC cost).
     _ESC_WAVE = 8
-    _ESC_LARGE_EPAD = 1 << 20
     wave = []
 
     def _flush_wave(nmax=None):
@@ -1219,15 +1244,46 @@ def _spgemm_esc_arrays_impl(A, B, out_dtype, triangular=False):
                 (time.perf_counter() - t_prep) * 1e3
             )
             t_prep = time.perf_counter()
-            out = _xla.esc_spgemm_block_packed(
-                a_pack, offsets_dev,
-                jnp.asarray(e_blk, jnp.int32), b_pack,
-                jnp.asarray(lo, jnp.int32),
-                e_pad=e_pad, mb=mb_bucket, n=n, nchan=nchan,
-                chan64=chan64, key64=key64, dup_passes=dup_passes,
-                triangular=triangular,
-                perm_sort=_esc_perm_sort(real_dtype, nchan),
+            struct = (
+                pat_dev.get(lo)
+                if (pat_dev is not None and cached_k_ok) else None
             )
+            if struct is not None:
+                # Sort-free steady state: value movement only, from
+                # the cached sorted-order permutation + head gather.
+                sidx_d, hs_d = struct
+                out = (None,) + _xla.esc_spgemm_block_cached(
+                    a_pack, offsets_dev,
+                    jnp.asarray(e_blk, jnp.int32), b_pack,
+                    jnp.asarray(lo, jnp.int32), sidx_d, hs_d,
+                    e_pad=e_pad, mb=mb_bucket, n=n, nchan=nchan,
+                    chan64=chan64, dup_passes=dup_passes,
+                    triangular=triangular,
+                )
+            else:
+                out = _xla.esc_spgemm_block_packed(
+                    a_pack, offsets_dev,
+                    jnp.asarray(e_blk, jnp.int32), b_pack,
+                    jnp.asarray(lo, jnp.int32),
+                    e_pad=e_pad, mb=mb_bucket, n=n, nchan=nchan,
+                    chan64=chan64, key64=key64, dup_passes=dup_passes,
+                    triangular=triangular,
+                    perm_sort=_esc_perm_sort(real_dtype, nchan),
+                )
+                if not use_pat and cached_k_ok:
+                    # One-time structure extraction for future
+                    # sort-free repeats (stored with the pattern).
+                    sidx_d, hs_full, _c = (
+                        _xla.esc_extract_structure_packed(
+                            a_pack, offsets_dev,
+                            jnp.asarray(e_blk, jnp.int32), b_pack,
+                            jnp.asarray(lo, jnp.int32),
+                            e_pad=e_pad, mb=mb_bucket, n=n,
+                            nchan=nchan, chan64=chan64, key64=key64,
+                            triangular=triangular,
+                        )
+                    )
+                    new_dev[lo] = (sidx_d, hs_full)
         else:
             a_vals_blk = jnp.stack(chans_blk)
             prof["prep_dispatch_ms"] += (
@@ -1276,11 +1332,32 @@ def _spgemm_esc_arrays_impl(A, B, out_dtype, triangular=False):
         if indices.nbytes + indptr.nbytes <= (256 << 20):
             if len(_esc_pattern_cache) > 2:
                 _esc_pattern_cache.clear()
-            _esc_pattern_cache[pat_key] = {
+            # Sort-free structures: slice each block's head gather to
+            # its (now known) count bucket so the steady-state output
+            # buffers match the flush's read size; budget-gated in
+            # device bytes.
+            dev_store = {}
+            dev_bytes = 0
+            for blo2, (sidx_d, hs_full) in new_dev.items():
+                cnt2 = int(new_cnts.get(blo2, 0))
+                if cnt2 <= 0:
+                    continue
+                take2 = min(
+                    int(hs_full.shape[0]),
+                    _pow2_bucket(cnt2, lo=1 << 14),
+                )
+                dev_store[blo2] = (sidx_d, hs_full[:take2])
+                dev_bytes += (int(sidx_d.shape[0]) + take2) * 4
+            entry = {
                 "cnts": dict(new_cnts),
                 "indices": indices.copy(),
                 "indptr": indptr.copy(),
             }
+            if dev_store and dev_bytes <= int(getattr(
+                config, "spgemm_esc_struct_cache_bytes", 1 << 28
+            )):
+                entry["dev"] = dev_store
+            _esc_pattern_cache[pat_key] = entry
     prof["assembly_ms"] += (time.perf_counter() - t0) * 1e3
     esc_last_profile.clear()
     esc_last_profile.update(prof)

@@ -99,12 +99,16 @@ class TestESCKernel(unittest.TestCase):
         # Pin perm-sort ((key, iota) sort + permutation gathers) for
         # one run and co-sort for the other — "auto" resolves to
         # co-sort here, so the perm_sort=True pin is what actually
-        # exercises the permutation-gather compaction branch.
+        # exercises the permutation-gather compaction branch.  The
+        # pattern cache is cleared between runs so the second call
+        # exercises the PINNED sort kernel, not the sort-free
+        # steady-state path.
         config.spgemm_esc_perm_sort = True
         try:
             C_perm = self._run(self.A, self.B, np.float64)
         finally:
             config.spgemm_esc_perm_sort = "auto"
+        hops._esc_pattern_cache.clear()
         config.spgemm_esc_perm_sort = False
         try:
             C_cosort = self._run(self.A, self.B, np.float64)
@@ -113,6 +117,38 @@ class TestESCKernel(unittest.TestCase):
         self.assertEqual(C_perm.nnz, C_cosort.nnz)
         npt.assert_array_equal(C_perm.indices, C_cosort.indices)
         npt.assert_allclose(C_perm.data, C_cosort.data, rtol=0, atol=0)
+
+    def test_sort_free_repeat_matches(self):
+        # The steady-state sort-free kernel (cached sidx/head_src,
+        # windowed value gathers) must reproduce the cold sorted
+        # call's structure exactly and its values within the packed
+        # hi|lo transport bound (~2^-48 relative, same contract as
+        # test_packed_matches_scalar); repeats must be deterministic.
+        hops._esc_pattern_cache.clear()
+        C_cold = self._run(self.A, self.B, np.float64)
+        C_warm = self._run(self.A, self.B, np.float64)
+        self.assertTrue(
+            hops.esc_last_profile.get("sort_free"),
+            "sort-free steady state did not engage",
+        )
+        C_warm2 = self._run(self.A, self.B, np.float64)
+        self.assertEqual(C_cold.nnz, C_warm.nnz)
+        npt.assert_array_equal(C_cold.indices, C_warm.indices)
+        npt.assert_allclose(C_cold.data, C_warm.data, rtol=5e-15,
+                            atol=1e-15)
+        npt.assert_allclose(C_warm.data, C_warm2.data, rtol=0, atol=0)
+
+    def test_sort_free_kill_switch(self):
+        hops._esc_pattern_cache.clear()
+        old = getattr(config, "spgemm_esc_sort_free", True)
+        config.spgemm_esc_sort_free = False
+        try:
+            self._run(self.A, self.B, np.float64)
+            C = self._run(self.A, self.B, np.float64)
+            self.assertFalse(hops.esc_last_profile.get("sort_free"))
+            np_almost_equal(C, self.A @ self.B)
+        finally:
+            config.spgemm_esc_sort_free = old
 
     def test_duplicate_heavy_rows(self):
         # A dense-ish row multiplying a dense-ish B column exercises the
