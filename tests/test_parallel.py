@@ -336,6 +336,33 @@ class TestShardedCGLS(unittest.TestCase):
         expect = np.linalg.lstsq(A.toarray(), b, rcond=None)[0]
         npt.assert_array_almost_equal(x, expect)
 
+    def test_sharded_ill_conditioned(self):
+        # Column scales spanning 1e6 (cond >= 1e6): the Jacobi-
+        # preconditioned distributed loop must converge accurately in
+        # bounded iterations, matching the single-chip CGLS route.
+        from sparse_dot_tpu.parallel import make_mesh, shard_csr_rows, \
+            sharded_cgls
+
+        n_dev = jax.device_count()
+        mesh = make_mesh((n_dev, 1), ("rows", "cols"))
+        rng = np.random.default_rng(9)
+        m, k = 4000, 60
+        A0 = sps.random(m, k, density=0.02, format="csr",
+                        dtype=np.float64, random_state=9)
+        tail = sps.csr_matrix(
+            (np.ones(k), (np.arange(m - k, m), np.arange(k))),
+            shape=(m, k),
+        )
+        A = ((A0 + tail) @ sps.diags(np.logspace(0, -6, k))).tocsr()
+        x_true = rng.standard_normal(k)
+        b = A @ x_true
+        A_sh = shard_csr_rows(A, n_dev, mesh)
+        x, res, iters = sharded_cgls(mesh, A_sh, b, tol=1e-12,
+                                     maxiter=500)
+        rel = np.linalg.norm(x - x_true) / np.linalg.norm(x_true)
+        self.assertLess(rel, 1e-8)
+        self.assertLessEqual(iters, 300)
+
 
 class TestHaloSpMV(unittest.TestCase):
     """Nearest-neighbor halo-exchange SpMV (SURVEY §7's halo/remote-
