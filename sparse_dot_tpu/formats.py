@@ -788,11 +788,19 @@ def _warn_f64_range(data_np):
     transfers as inf, tiny magnitudes flush to 0 — measured at the
     device boundary, before any kernel).  MKL computes such inputs
     exactly, so silence here would be a silent wrong answer; CPU
-    backends represent full f64 and never warn."""
+    backends represent full f64 and never warn.
+
+    Ordering matters for the hot path: the lru-cached backend
+    capability check runs BEFORE the O(nnz) data scan, so full-range
+    (CPU) backends and already-warned sessions pay nothing."""
     if _warned_f64_range[0]:
         return
     d = np.asarray(data_np)
     if d.dtype not in (np.float64, np.complex128) or d.size == 0:
+        return
+    from . import backend as _backend
+
+    if _backend.supports_full_f64_range():
         return
     a = np.abs(d.reshape(-1))
     mx = float(a.max())
@@ -800,10 +808,6 @@ def _warn_f64_range(data_np):
         nz = a[a > 0]
         if nz.size == 0 or float(nz.min()) >= _F64_RANGE_MIN:
             return
-    from . import backend as _backend
-
-    if _backend.supports_full_f64_range():
-        return
     _warned_f64_range[0] = True
     import warnings
 
@@ -886,8 +890,8 @@ def to_device(mat):
             "Input matrices must be CSR, CSC, or BSR; "
             f"{mat.format.upper()} is not supported"
         )
-    _warn_f64_range(mat.data)
     if not _cache_enabled():
+        _warn_f64_range(mat.data)
         return _DEVICE_CLASSES[mat.format].from_scipy(mat)
 
     key = ("sparse", id(mat), np.dtype(config.index_dtype).str)
@@ -901,6 +905,9 @@ def to_device(mat):
     cached = _cache_get(key, fp)
     if cached is not None:
         return cached
+    # Range warning only on cache misses (new/changed buffers): a hit
+    # means this exact content was already checked at upload time.
+    _warn_f64_range(mat.data)
 
     # Buffer-alias dedup: a scipy transpose view (X.T / X.T.tocsc())
     # shares X's arrays; reuse the already-transferred container's

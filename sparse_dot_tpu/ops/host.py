@@ -98,6 +98,43 @@ def _container_hilo_ok(M):
     return not np.isfinite(nzmin) or nzmin >= _HILO_ABS_MIN
 
 
+def _container_max_row_nnz(M):
+    """Max nnz over the container's compressed-axis rows, cached per
+    index structure (one small indptr read).  Bounds the number of
+    terms summed into any single product entry — the duplicate factor
+    of the product-range gates."""
+    cached = getattr(M, "_max_row_nnz_cache", None)
+    if cached is not None and cached[0] is M.indptr:
+        return cached[1]
+    ip = np.asarray(M.indptr)
+    mx = int(np.diff(ip).max()) if ip.size > 1 else 0
+    try:
+        M._max_row_nnz_cache = (M.indptr, mx)
+    except Exception:
+        pass
+    return mx
+
+
+def _product_range_ok(A, B, max_dup, nchan=1):
+    """True when every PRODUCT value (and every partial sum of up to
+    ``max_dup`` of them) stays inside the f32 hi|lo window.  Operand
+    gating alone allows products up to ~(3.4e38)^2; every path that
+    hi|lo-encodes product values must use THIS gate.  ``nchan=2``
+    (planar complex) doubles the bound for the cross terms
+    (ar*br - ai*bi)."""
+    mxA, mnA = _container_range(A)
+    mxB, mnB = _container_range(B)
+    if not (np.isfinite(mxA) and np.isfinite(mxB)):
+        return False
+    factor = max(max_dup, 1) * (2 if nchan == 2 else 1)
+    if mxA * mxB * factor > _HILO_ABS_MAX:
+        return False
+    mn = mnA * mnB
+    # NOTE no ``mn == 0.0`` escape: a host-double underflow to zero
+    # means the true min product is BELOW the flush floor.
+    return not np.isfinite(mn) or mn >= _HILO_ABS_MIN
+
+
 # ---------------------------------------------------------------------------
 # container lowering
 # ---------------------------------------------------------------------------
@@ -418,7 +455,24 @@ def _bilinear_host(A, b_np, one_pass, out_dtype, alpha=1.0,
         )
         return np.asarray(res).astype(out_dtype, copy=False)
     else:
-        # Planar complex: four (or fewer) real passes.
+        # Planar complex: four (or fewer) real passes.  The same b
+        # range gate as the native path applies per CHANNEL (review r5
+        # finding: this branch used to take the hi|lo split
+        # unconditionally, saturating out-of-window complex planes).
+        # Checked on the HOST operand (br/bi are device uploads).
+        b_host = np.asarray(b_np)
+        split_ok = (
+            np.dtype(b_host.dtype).kind not in "fc"
+            or np.dtype(b_host.dtype).itemsize < 8
+            or _hilo_range_ok(b_host.real)
+            and _hilo_range_ok(b_host.imag)
+        )
+        if not split_ok:
+            formats._warn_f64_range(b_host)
+
+        def one_pass(A_, d_, b_, t_, _op=one_pass, _ok=split_ok):
+            return _op(A_, d_, b_, t_, split_ok=_ok)
+
         rr = one_pass(A, ar, br, transpose)
         re = rr
         im = None
@@ -1054,18 +1108,21 @@ def _spgemm_esc_arrays_impl(A, B, out_dtype, triangular=False):
     new_dev = {}
     sort_free_on = bool(getattr(config, "spgemm_esc_sort_free", True))
     if packed_ok and sort_free_on and chan64:
-        _mxA, _mnA = _container_range(A)
-        _mxB, _mnB = _container_range(B)
         _dup = int(row_nnz.max()) if row_nnz.size else 1
-        _mn_prod = _mnA * _mnB
-        cached_k_ok = (
-            np.isfinite(_mxA) and np.isfinite(_mxB)
-            and _mxA * _mxB * max(_dup, 1) <= _HILO_ABS_MAX
-            and (not np.isfinite(_mn_prod) or _mn_prod == 0.0
-                 or _mn_prod >= _HILO_ABS_MIN)
-        )
+        cached_k_ok = _product_range_ok(A, B, _dup, nchan=nchan)
     else:
         cached_k_ok = packed_ok and sort_free_on
+    # A-priori gates so the cold extraction dispatch is never wasted
+    # (review r5 finding): skip it when the output can only exceed the
+    # pattern-store cap (e_total bounds the output nnz) or the
+    # structure budget; the running byte estimate gates per block.
+    e_total_bound = int(row_ext_cum[-1]) if len(row_ext_cum) else 0
+    if cached_k_ok and e_total_bound * 8 > (256 << 20):
+        cached_k_ok = False
+    _struct_budget = int(getattr(
+        config, "spgemm_esc_struct_cache_bytes", 1 << 28
+    ))
+    _est_dev_bytes = [0]
     prof["sort_free"] = bool(use_pat and pat_dev and cached_k_ok)
 
     # Deferred-sync machinery: block kernels are dispatched in waves of
@@ -1075,18 +1132,18 @@ def _spgemm_esc_arrays_impl(A, B, out_dtype, triangular=False):
     _ESC_WAVE = 8
     wave = []
 
-    def _flush_wave(nmax=None):
-        take_n = len(wave) if nmax is None else min(nmax, len(wave))
-        if not take_n:
+    def _flush_wave():
+        if not wave:
             return
-        batch = [wave.pop(0) for _ in range(take_n)]
-        # The stacked count read is the batch's sync point: its wall
+        # The stacked count read is the wave's sync point: its wall
         # time is (remaining) kernel execution, and everything after
         # is link transfer + host assembly — the phase decomposition
         # VERDICT r4 item 4 asked for (esc_last_profile).
         t0 = time.perf_counter()
-        wave_counts = np.asarray(jnp.stack([w[-1] for w in batch]))
+        wave_counts = np.asarray(jnp.stack([w[-1] for w in wave]))
         prof["kernel_wait_ms"] += (time.perf_counter() - t0) * 1e3
+        batch = list(wave)
+        wave.clear()
         for (blo, bhi, bmb, be_pad, bkey64, obuf, ovals, _), cnt in zip(
             batch, wave_counts
         ):
@@ -1270,7 +1327,11 @@ def _spgemm_esc_arrays_impl(A, B, out_dtype, triangular=False):
                     triangular=triangular,
                     perm_sort=_esc_perm_sort(real_dtype, nchan),
                 )
-                if not use_pat and cached_k_ok:
+                if (
+                    not use_pat and cached_k_ok
+                    and _est_dev_bytes[0] + e_pad * 8 <= _struct_budget
+                ):
+                    _est_dev_bytes[0] += e_pad * 8
                     # One-time structure extraction for future
                     # sort-free repeats (stored with the pattern).
                     sidx_d, hs_full, _c = (
@@ -1711,7 +1772,11 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
         use_gather = (
             np.dtype(real_dtype) == np.float64
             and _xla._ozaki.enabled(real_dtype, k, m * k * n)
-            and _container_hilo_ok(A) and _container_hilo_ok(B)
+            # The gather hi|lo-encodes PRODUCT values, so it gates on
+            # the product range (operand gating alone allows products
+            # up to ~(3.4e38)^2 — review r5 finding; same bound as the
+            # ESC sort-free gate).
+            and _product_range_ok(A, B, _container_max_row_nnz(A))
         )
         vkey = src if use_gather else dest
         struct_bytes = int(vkey.size) * 4 + (nnz + m + 1) * 8
@@ -1747,14 +1812,28 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
             # The cached flag records which value-movement array was
             # kept (src for the hi|lo gather, dest for the exact
             # scatter) — it must be honored, not recomputed, or a
-            # config flip between calls would misread the cache.
+            # config flip between calls would misread the cache.  A
+            # gather entry is ADDITIONALLY revalidated against the
+            # CURRENT data's product range (same structure, new values
+            # can leave the f32 window); when it no longer holds, the
+            # full in-program extraction runs instead — slower, exact.
             vkey, cols, indptr, use_gather = struct
-            vals, count, bad = _xla.spgemm_structural_vals_planes(
-                a_num, ind_a, b_num, ind_b, vkey, prev_bad, a_cm=a_cm,
-                b_cm=b_cm, syrk=syrk, triangular=triangular, nnz=nnz,
-                gather=use_gather,
-            )
-            out = (vals, cols, indptr, count, bad)
+            if use_gather and not _product_range_ok(
+                A, B, _container_max_row_nnz(A)
+            ):
+                out = _xla.spgemm_structural_extract_planes(
+                    a_num, ind_a, b_num, ind_b, prev_bad, a_cm=a_cm,
+                    b_cm=b_cm, syrk=syrk, triangular=triangular,
+                    nnz=nnz,
+                )
+            else:
+                vals, count, bad = _xla.spgemm_structural_vals_planes(
+                    a_num, ind_a, b_num, ind_b, vkey, prev_bad,
+                    a_cm=a_cm, b_cm=b_cm, syrk=syrk,
+                    triangular=triangular, nnz=nnz,
+                    gather=use_gather,
+                )
+                out = (vals, cols, indptr, count, bad)
         elif planes is not None:
             a_num, ind_a, a_cm, b_num, ind_b, b_cm, syrk = planes
             out = _xla.spgemm_structural_extract_planes(

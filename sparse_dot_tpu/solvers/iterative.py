@@ -39,23 +39,28 @@ DEFAULT_ATOL = 0.0
 DEFAULT_RTOL = 1e-6
 DEFAULT_MAX_ITER = 1000
 
-_HILO_ABS_MAX = 3.0e38  # just under f32 max
+_HILO_ABS_MAX = 3.0e38   # just under f32 max
+_HILO_ABS_MIN = 1.0e-37  # above the f32 subnormal flush floor
 
 
 def _hilo_safe(*arrays):
-    """True when every magnitude is inside the f32-representable range,
-    so the ELL loops' hi|lo iterate split cannot saturate (the split is
-    exact to ~2^-49 relative INSIDE that range; |x| beyond it becomes
-    inf).  Gated on b/x0 — the anchors that set the solve's scale —
+    """True when every magnitude is inside the f32-representable
+    window, so the ELL loops' hi|lo iterate split can neither saturate
+    (|x| > ~3.4e38 -> inf) nor flush (nonzero |x| below the f32
+    subnormal floor -> 0; the split is exact to ~2^-49 INSIDE the
+    window).  Gated on b/x0 — the anchors that set the solve's scale —
     before choosing the split form of the binned-ELL matvec."""
     for a in arrays:
         if a is None:
             continue
-        a = np.asarray(a)
+        a = np.abs(np.asarray(a).reshape(-1))
         if a.size == 0:
             continue
-        m = float(np.max(np.abs(a)))
+        m = float(a.max())
         if not np.isfinite(m) or m > _HILO_ABS_MAX:
+            return False
+        nz = a[a > 0]
+        if nz.size and float(nz.min()) < _HILO_ABS_MIN:
             return False
     return True
 
@@ -314,7 +319,12 @@ class IterativeSparseSolver:
         """Build the (n -> n) matvec closure from the stored matrix and
         the descriptor.  Uses the binned-ELL gather kernel when the
         layout admits it — the same kernel the fused CG loop uses, so
-        stepwise and fused iterates share one summation order."""
+        stepwise and fused iterates share one summation order.
+
+        The closure takes the hi|lo ``split`` flag PER CALL (static jit
+        arg): the stepwise RCI protocol applies the operator to
+        arbitrary user-written work vectors, so the range decision
+        cannot be baked in from ``b`` alone (review r5 finding)."""
         if self._op_cache is not None:
             return self._op_cache
 
@@ -323,10 +333,9 @@ class IterativeSparseSolver:
         if binned is not None:
             segs, cols_flat, vals_flat, invpos = binned
             vals64 = vals_flat.astype(jnp.float64)
-            split = _hilo_safe(self.b)
 
-            @jax.jit
-            def op(v):
+            @partial(jax.jit, static_argnames=("split",))
+            def op(v, split=True):
                 return _xla.ell_spmm_binned(
                     cols_flat, vals64, v[:, None], invpos, segs=segs,
                     split_b=split,
@@ -335,11 +344,21 @@ class IterativeSparseSolver:
             rows, cols, vals = self._operator_coo()
 
             @jax.jit
-            def op(v):
+            def _op_coo(v):
                 return _xla.coo_spmv(rows, cols, vals, v, m=n)
+
+            def op(v, split=True):
+                return _op_coo(v)
 
         self._op_cache = op
         return op
+
+    def _apply_operator(self, v_np):
+        """Apply the matvec to a host vector with the per-call hi|lo
+        range gate."""
+        return self._operator()(
+            jnp.asarray(v_np), split=_hilo_safe(v_np)
+        )
 
     def update_tmp(self):
         """Protocol-parity hook: the RCI matvec ``tmp[1] = A @ tmp[0]``
@@ -348,7 +367,7 @@ class IterativeSparseSolver:
         ``_iss.py:232-278``."""
         if self.tmp is None:
             self.tmp = np.zeros((4, self.n), dtype=np.float64)
-        self.tmp[1] = np.asarray(self._operator()(jnp.asarray(self.tmp[0])))
+        self.tmp[1] = np.asarray(self._apply_operator(self.tmp[0]))
         return self.tmp[1]
 
     # -- convergence --------------------------------------------------------
@@ -420,9 +439,12 @@ class CGIterativeSparseSolver(IterativeSparseSolver):
 
     def _ensure_state(self):
         if getattr(self, "_r", None) is None:
+            # CG iterates scale with (b, x0): one range decision for
+            # the whole stepwise solve, matching the fused loop's gate.
+            self._split = _hilo_safe(self.b, self.x)
             op = self._operator()
             x = jnp.asarray(self.x)
-            r = jnp.asarray(self.b) - op(x)
+            r = jnp.asarray(self.b) - op(x, split=self._split)
             self._r = r
             self._p = r
             self._rs = jnp.vdot(r, r)
@@ -431,7 +453,7 @@ class CGIterativeSparseSolver(IterativeSparseSolver):
         self._ensure_state()
         op = self._operator()
         p = self._p
-        sp = op(p)
+        sp = op(p, split=self._split)
         denom = jnp.vdot(p, sp)
         alpha = jnp.where(denom != 0, self._rs / denom, 0.0)
         x = jnp.asarray(self.x) + alpha * p

@@ -195,6 +195,58 @@ class TestSteadyStateValueRange(unittest.TestCase):
         finally:
             config.spgemm_esc_force_sort = old
 
+    def test_steady_state_product_range_gate(self):
+        # In-range OPERANDS (1e25) with out-of-f32-range PRODUCTS
+        # (1e50): the steady-state value gather hi|lo-encodes products,
+        # so the product-range gate must route to exact movement even
+        # with the Ozaki policy forced on (review r5 finding).
+        old = config.ozaki
+        config.ozaki = "1"
+        try:
+            A = sps.random(60, 80, density=0.15, format="csr",
+                           dtype=np.float64, random_state=51)
+            B = sps.random(80, 40, density=0.15, format="csr",
+                           dtype=np.float64, random_state=52)
+            A.data = np.abs(A.data) + 1.0
+            B.data = np.abs(B.data) + 1.0
+            A.data *= 1e25
+            B.data *= 1e25
+            oracle = (A @ B).toarray()
+            first = dot_product(A, B).toarray()
+            self.assertTrue(np.isfinite(first).all())
+            for _ in range(3):  # steady state through the struct cache
+                again = dot_product(A, B).toarray()
+                self.assertTrue(np.isfinite(again).all())
+                np.testing.assert_allclose(again, oracle, rtol=1e-9)
+        finally:
+            config.ozaki = old
+
+    def test_planar_complex_b_beyond_f32_range(self):
+        # Planar-complex SpMM passes b channels through the same range
+        # gate as the native path (review r5 finding: the planar branch
+        # used to split unconditionally).
+        from sparse_dot_tpu import dot_product_mkl
+
+        old_planar = config.force_planar_complex
+        old_ell = config.ell_spmm_enabled
+        config.force_planar_complex = True
+        config.ell_spmm_enabled = "always"
+        formats.clear_transfer_cache()
+        try:
+            A = sps.random(300, 400, density=0.05, format="csr",
+                           dtype=np.float64, random_state=53)
+            b = (np.random.default_rng(54).standard_normal((400, 4))
+                 + 1j * np.random.default_rng(55).standard_normal(
+                     (400, 4))) * 1e60
+            got = dot_product_mkl(A, b, cast=True)
+            self.assertTrue(np.isfinite(got).all())
+            oracle = A @ b
+            np.testing.assert_allclose(got, oracle, rtol=1e-12)
+        finally:
+            config.force_planar_complex = old_planar
+            config.ell_spmm_enabled = old_ell
+            formats.clear_transfer_cache()
+
 
 if __name__ == "__main__":
     unittest.main()

@@ -164,7 +164,10 @@ class TestTwoProcessCluster(unittest.TestCase):
     ``gather_to_host`` executed with ``process_count == 2``
     (VERDICT r3 item 4)."""
 
-    def test_two_process_sharded_ops(self):
+    def _attempt(self):
+        # The free-port probe is inherently racy (the socket closes
+        # before the coordinator rebinds), so callers retry once with
+        # a fresh port.
         with socket.socket() as s:
             s.bind(("localhost", 0))
             port = s.getsockname()[1]
@@ -190,6 +193,12 @@ class TestTwoProcessCluster(unittest.TestCase):
             for p in procs:
                 if p.poll() is None:
                     p.kill()
+        return outs
+
+    def test_two_process_sharded_ops(self):
+        outs = self._attempt()
+        if any(rc != 0 for rc, _, _ in outs):
+            outs = self._attempt()  # fresh port; see _attempt
         for i, (rc, out, err) in enumerate(outs):
             self.assertEqual(
                 rc, 0, msg=f"proc {i} rc={rc} stderr: {err[-2000:]}"

@@ -493,6 +493,35 @@ class TestEllHiloRangeGate(unittest.TestCase):
         self.assertTrue(np.isfinite(X).all())
         npt.assert_allclose(X[:, 0], x_true, rtol=1e-8)
 
+
+
+    def test_cg_tiny_scale(self):
+        # Nonzero magnitudes below the f32 subnormal-flush floor must
+        # route to the exact-f64 matvec (review r5 finding: the gate
+        # only checked the overflow side).
+        from sparse_dot_tpu import cg
+
+        A, x_true, b = self._system()
+        scale = 1e-45
+        x, code = cg(A, b * scale, tol=1e-12)
+        self.assertEqual(code, 0)
+        npt.assert_allclose(x, x_true * scale, rtol=1e-8)
+
+    def test_stepwise_matvec_gates_per_call(self):
+        # The RCI protocol applies the operator to arbitrary work
+        # vectors; the hi|lo decision must be made per call, not baked
+        # from b (review r5 finding).
+        A, x_true, b = self._system()
+        with CGIterativeSparseSolver(A, np.ones(A.shape[0])) as solver:
+            if solver.tmp is None:
+                solver.tmp = np.zeros((4, solver.n), dtype=np.float64)
+            v = np.random.default_rng(3).standard_normal(solver.n)
+            v *= 1e60  # far beyond f32 range
+            solver.tmp[0] = v
+            out = solver.update_tmp()
+            self.assertTrue(np.isfinite(out).all())
+            npt.assert_allclose(out, A @ v, rtol=1e-10)
+
     def test_qr_cgls_huge_scale(self):
         from sparse_dot_tpu import sparse_qr_solve_mkl
         from sparse_dot_tpu.solvers import qr as _qr
