@@ -166,7 +166,7 @@ def _sparse_dense_matmul(matrix_a, matrix_b, scalar=1.0, transpose=False,
             matrix_b,
             out_dtype,
             alpha=scalar,
-            out=out if out is not None else None,
+            out=out,
             out_scalar=out_scalar,
             transpose=transpose,
         )
@@ -318,7 +318,7 @@ def _dense_matmul(matrix_a, matrix_b, scalar=1.0, out=None, out_scalar=None):
             matrix_b,
             out_dtype,
             alpha=scalar,
-            out=out if out is not None else None,
+            out=out,
             out_scalar=out_scalar,
         )
 
@@ -553,7 +553,7 @@ def gram_matrix(matrix, transpose=False, cast=False, dense=False,
         with trace_phase("syrk_dense"):
             res = _ops.gram_dense_from_dense(
                 matrix, out_dtype, aat=transpose,
-                out=out if out is not None else None, out_scalar=out_scalar,
+                out=out, out_scalar=out_scalar,
             )
         if out is not None:
             out_validated[...] = res
@@ -578,7 +578,7 @@ def gram_matrix(matrix, transpose=False, cast=False, dense=False,
         with trace_phase("syrkd"):
             res = _ops.gram_dense_from_sparse(
                 A, out_dtype, aat=transpose,
-                out=out if out is not None else None, out_scalar=out_scalar,
+                out=out, out_scalar=out_scalar,
                 full=full,
             )
         if out is not None:

@@ -161,6 +161,52 @@ class SparseDeviceMatrix:
         planar = self.planar if planar is None else planar
         return type(self)._rebuild(self, new_data, planar=planar, dtype=dtype)
 
+    def astype(self, dtype):
+        """Container with values cast to ``dtype`` (index structure
+        shared; the SAME object when the dtype already matches — the
+        identity semantics the cast policy relies on, mirroring the
+        reference's return-by-reference ``_type_check``).  Needed so
+        device containers are first-class ``cast=True`` operands
+        (review r5 finding: ``policy._cast_to`` calls ``astype``)."""
+        dtype = np.dtype(dtype)
+        if dtype == self._dtype:
+            return self
+        tgt_complex = dtype.kind == "c"
+        if self.iscomplex and not tgt_complex:
+            raise ValueError(
+                f"cannot cast complex container to real dtype {dtype}"
+            )
+        if self.planar:
+            real_t = _COMPLEX_TO_REAL[dtype]
+            return self.with_data(
+                self.data.astype(jnp.dtype(real_t)), planar=True,
+                dtype=dtype,
+            )
+        if self.iscomplex:  # native complex -> wider native complex
+            return self.with_data(
+                self.data.astype(jnp.dtype(dtype)), dtype=dtype
+            )
+        if tgt_complex:
+            # real -> complex: follow the backend's complex storage
+            # policy (planar on TPU-like backends).
+            from . import backend as _backend
+            from .config import config as _cfg
+
+            real_t = _COMPLEX_TO_REAL[dtype]
+            if (_backend.supports_native_complex()
+                    and not _cfg.force_planar_complex):
+                return self.with_data(
+                    self.data.astype(jnp.dtype(dtype)), dtype=dtype
+                )
+            re = self.data.astype(jnp.dtype(real_t))
+            return self.with_data(
+                jnp.stack([re, jnp.zeros_like(re)]), planar=True,
+                dtype=dtype,
+            )
+        return self.with_data(
+            self.data.astype(jnp.dtype(dtype)), dtype=dtype
+        )
+
     # -- pytree protocol ----------------------------------------------------
 
     def tree_flatten(self):
@@ -389,6 +435,13 @@ class CSR(SparseDeviceMatrix):
         m = self.shape[0]
         m_pad = -(-m // 256) * 256
         cache = getattr(self, "_ell_cache", None)
+        if cache is not None and cache[0] is None and cache[2] <= (
+            max_pad_ratio
+        ):
+            # A stricter earlier caller rejected the layout, but THIS
+            # caller's ratio admits it — rebuild (the cached decision
+            # must key on the argument, review r5 finding).
+            cache = None
         if cache is None:
             rmax = max(int(_xla.ell_row_max(self.indptr)), 1)
             pad_ratio = m * rmax / max(self.nnz, 1)
@@ -402,7 +455,7 @@ class CSR(SparseDeviceMatrix):
                 cache = (cols_ell, (data, vals_ell), pad_ratio)
             self._ell_cache = cache
         cols_ell, vals_entry, pad_ratio = cache
-        if cols_ell is None:
+        if cols_ell is None or pad_ratio > max_pad_ratio:
             return None
         if vals_entry[0] is not data:
             _, vals_ell = _xla.ell_repack(
@@ -437,6 +490,10 @@ class CSR(SparseDeviceMatrix):
         data = self.data if data is None else data
         m = self.shape[0]
         cache = getattr(self, "_ell_binned_cache", None)
+        if cache is not None and cache[0] is None and cache[-1] <= (
+            max_pad_ratio
+        ):
+            cache = None  # stricter caller rejected; this one admits
         if cache is None:
             indptr_np = np.asarray(self.indptr).astype(np.int64)
             row_nnz = indptr_np[1:] - indptr_np[:-1]
@@ -494,7 +551,7 @@ class CSR(SparseDeviceMatrix):
                 pad_ratio,
             )
             self._ell_binned_cache = cache
-        if cache[0] is None:
+        if cache[0] is None or cache[-1] > max_pad_ratio:
             return None
         segs, cols_flat, vals_entry, invpos, aux, _ = cache
         if vals_entry[0] is not data:
@@ -802,9 +859,15 @@ def _warn_f64_range(data_np):
 
     if _backend.supports_full_f64_range():
         return
+    # Only FINITE magnitudes outside the window warn: NaN/inf inputs
+    # transfer faithfully on the pair backend and are the user's own
+    # data, not a representability problem (review r5 finding — the
+    # old isfinite(max) test fired on any NaN).
     a = np.abs(d.reshape(-1))
-    mx = float(a.max())
-    if np.isfinite(mx) and mx <= _F64_RANGE_MAX:
+    a = a[np.isfinite(a)]
+    if a.size == 0:
+        return
+    if float(a.max()) <= _F64_RANGE_MAX:
         nz = a[a > 0]
         if nz.size == 0 or float(nz.min()) >= _F64_RANGE_MIN:
             return
@@ -925,12 +988,11 @@ def to_device(mat):
         )
         # The alias entry can be hit through a different scipy object
         # sharing the same buffers, so its validity must cover every
-        # buffer's content, not just the values.
-        alias_fp = (
-            _array_fingerprint(mat.data),
-            _array_fingerprint(mat.indices),
-            _array_fingerprint(mat.indptr),
-        )
+        # buffer's content, not just the values.  Reuses the main
+        # key's already-computed fingerprints: recomputing them here
+        # doubled the full-CRC pass over every buffer per upload
+        # (review r5 finding).
+        alias_fp = (fp[1], fp[2], fp[3])
         hit = _cache_get(alias_key, alias_fp)
         if hit is not None:
             h_container, h_format, h_shape = hit

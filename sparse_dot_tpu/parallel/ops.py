@@ -77,9 +77,14 @@ class ShardedCSR:
         return self.vals.dtype
 
     def tree_flatten(self):
+        # aux must carry EVERYTHING __init__/constructors set (axis,
+        # mesh, and the col-shard k_local), or a pytree round-trip
+        # (jit / tree_map / device_put) silently strips routing state
+        # (review r5 finding).
         return (self.rows, self.cols, self.vals), (
             self.shape, self.m_local, self.n_shards, self.planar,
-            self.complex_dtype,
+            self.complex_dtype, self.axis, self.mesh,
+            getattr(self, "k_local", None),
         )
 
     @classmethod
@@ -88,8 +93,15 @@ class ShardedCSR:
         shape, m_local, n_shards = aux[0], aux[1], aux[2]
         planar = aux[3] if len(aux) > 3 else False
         cdt = aux[4] if len(aux) > 4 else None
-        return cls(rows, cols, vals, shape, m_local, n_shards,
-                   planar=planar, complex_dtype=cdt)
+        axis = aux[5] if len(aux) > 5 else "rows"
+        mesh = aux[6] if len(aux) > 6 else None
+        k_local = aux[7] if len(aux) > 7 else None
+        obj = cls(rows, cols, vals, shape, m_local, n_shards,
+                  mesh=mesh, axis=axis, planar=planar,
+                  complex_dtype=cdt)
+        if k_local is not None:
+            obj.k_local = k_local
+        return obj
 
 
 jax.tree_util.register_pytree_node(
@@ -99,12 +111,34 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _check_mesh_axis(mesh, axis, n_shards):
+    """The sharded kernels map exactly one shard per device on the
+    named mesh axis — a size mismatch silently DROPS shards (the
+    shard_map bodies read ``rows[0]`` of each per-device block), so it
+    must be an error, not a wrong answer (review r5 finding)."""
+    if mesh is None:
+        return
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    size = sizes.get(axis)
+    if size is None:
+        raise ValueError(
+            f"mesh has no axis named {axis!r} (axes: {mesh.axis_names})"
+        )
+    if int(size) != int(n_shards):
+        raise ValueError(
+            f"n_shards={n_shards} must equal the mesh {axis!r} axis "
+            f"size ({size}): the sharded kernels map one shard per "
+            "device"
+        )
+
+
 def shard_csr_rows(matrix, n_shards, mesh=None, axis="rows"):
     """scipy CSR (or convertible) -> ShardedCSR with device placement.
 
     Rows are split into ``n_shards`` contiguous blocks (padded to a
     uniform per-shard row count and nnz).
     """
+    _check_mesh_axis(mesh, axis, n_shards)
     if formats.is_device_sparse(matrix):
         matrix = matrix.to_scipy().tocsr()
     elif _sps.issparse(matrix):
@@ -177,6 +211,7 @@ def sharded_spmm(mesh, A, b, axis="rows"):
     path (``ops/host.py``); the result combines to complex on the
     host.  Returns the full (padded rows trimmed) array.
     """
+    _check_mesh_axis(mesh, axis, A.n_shards)
     m_local = A.m_local
 
     if getattr(A, "planar", False) or np.iscomplexobj(np.asarray(b)):
@@ -229,6 +264,7 @@ def sharded_spmm(mesh, A, b, axis="rows"):
 
 
 def sharded_spmv(mesh, A, x, axis="rows"):
+    _check_mesh_axis(mesh, axis, A.n_shards)
     m_local = A.m_local
 
     if getattr(A, "planar", False) or np.iscomplexobj(np.asarray(x)):
@@ -267,6 +303,7 @@ def sharded_spmv_halo(mesh, A, x, halo=1, axis="rows"):
     counted in-program (one scalar readback) and raise ``ValueError``;
     use :func:`sharded_spmv` for general matrices.
     """
+    _check_mesh_axis(mesh, axis, A.n_shards)
     if getattr(A, "planar", False) or np.iscomplexobj(np.asarray(x)):
         raise NotImplementedError(
             "sharded_spmv_halo supports real dtypes; use sharded_spmv"
@@ -276,7 +313,7 @@ def sharded_spmv_halo(mesh, A, x, halo=1, axis="rows"):
     k = A.shape[1]
     k_local = _ceil_div(k, S)
     k_pad = S * k_local
-    x_np = np.asarray(x, dtype=np.asarray(A.vals).dtype).ravel()
+    x_np = np.asarray(x, dtype=A.vals.dtype).ravel()
     if x_np.shape[0] != k:
         raise ValueError(f"x must have length {k}; got {x_np.shape[0]}")
     x_pad = np.zeros(k_pad, x_np.dtype)
@@ -350,8 +387,19 @@ def sharded_spmv_halo(mesh, A, x, halo=1, axis="rows"):
 def shard_csr_cols(matrix, n_shards, mesh=None, axis="cols"):
     """Column-partition A along the contraction axis: shard s owns
     columns [s*k_local, (s+1)*k_local) with LOCAL column ids."""
-    if _sps.issparse(matrix):
+    _check_mesh_axis(mesh, axis, n_shards)
+    if formats.is_device_sparse(matrix):
+        matrix = matrix.to_scipy().tocsc()
+    elif _sps.issparse(matrix):
         matrix = matrix.tocsc()
+    else:
+        raise ValueError(f"Expected a sparse matrix, got {type(matrix)}")
+    if np.iscomplexobj(matrix.data):
+        raise NotImplementedError(
+            "shard_csr_cols does not implement the planar-complex "
+            "strategy; use shard_csr_rows / shard_csr_grid for "
+            "complex operands"
+        )
     m, k = matrix.shape
     k_local = _ceil_div(k, n_shards)
 
@@ -396,6 +444,7 @@ def shard_csr_cols(matrix, n_shards, mesh=None, axis="cols"):
 def sharded_spmm_2d(mesh, A_colsharded, b, axis="cols"):
     """C = A @ b with the contraction axis sharded: device s computes
     A[:, s-block] @ b[s-block, :] and partials are psum-reduced."""
+    _check_mesh_axis(mesh, axis, A_colsharded.n_shards)
     m = A_colsharded.shape[0]
     k_local = A_colsharded.k_local
 
@@ -435,6 +484,7 @@ def shard_csr_grid(matrix, n_shards, mesh=None, axis="rows"):
     B's row shards.  Returns a ShardedCSR whose arrays are
     (S, S, nnz_pad): shard s, column-block c, padded COO with LOCAL row
     ids and block-LOCAL column ids."""
+    _check_mesh_axis(mesh, axis, n_shards)
     if formats.is_device_sparse(matrix):
         matrix = matrix.to_scipy().tocsr()
     elif _sps.issparse(matrix):
@@ -503,6 +553,7 @@ def sharded_spmm_ring(mesh, A_grid, b, axis="rows", _inspect=False):
     — the canonical ICI ring: per-device memory is |A|/S + |b|/S and
     each step's transfer can overlap the next step's compute.  No
     operand is ever replicated."""
+    _check_mesh_axis(mesh, axis, A_grid.n_shards)
     S = A_grid.n_shards
     m_local = A_grid.m_local
     k_local = A_grid.k_local
@@ -632,6 +683,7 @@ def sharded_spmm_ring(mesh, A_grid, b, axis="rows", _inspect=False):
 def shard_csr_krows(matrix, n_shards, mesh=None, axis="rows"):
     """Shard a sparse B along its ROW (contraction) axis for the ring
     SpGEMM: (S, nnz_pad) padded COO with block-LOCAL row ids."""
+    _check_mesh_axis(mesh, axis, n_shards)
     if _sps.issparse(matrix):
         matrix = matrix.tocsr()
     elif formats.is_device_sparse(matrix):
@@ -681,6 +733,7 @@ def sharded_spgemm(mesh, A_grid, B_krows, axis="rows"):
     never an m x n dense array (the round-2 scaling blocker).
     Returns scipy CSR of the full product (row panels concatenated).
     """
+    _check_mesh_axis(mesh, axis, A_grid.n_shards)
     import scipy.sparse as sps
 
     S = A_grid.n_shards
@@ -795,6 +848,11 @@ def sharded_gram(mesh, A, axis="rows"):
     """AᵀA via row-sharded A: each device computes its rows' outer
     contribution (Aᵀ_s A_s) and the results are psum-reduced — the
     distributed syrk."""
+    _check_mesh_axis(mesh, axis, A.n_shards)
+    if getattr(A, "planar", False) or np.dtype(A.dtype).kind == "c":
+        raise NotImplementedError(
+            "sharded_gram supports real dtypes only"
+        )
     m_local = A.m_local
     k = A.shape[1]
 
@@ -821,6 +879,11 @@ def sharded_cg(mesh, A, b, tol=1e-10, maxiter=1000, axis="rows"):
     """Distributed CG on a row-sharded SPD matrix: the matvec runs
     sharded and re-replicates via all_gather inside the jitted
     while_loop; reductions stay replicated."""
+    _check_mesh_axis(mesh, axis, A.n_shards)
+    if getattr(A, "planar", False) or np.dtype(A.dtype).kind == "c":
+        raise NotImplementedError(
+            "sharded_cg supports real dtypes only"
+        )
     m = A.shape[0]
     m_local = A.m_local
     n_pad = A.n_shards * m_local
@@ -884,6 +947,11 @@ def sharded_cgls(mesh, A, b, tol=1e-12, maxiter=500, axis="rows"):
     sharded analog of the reference's ``sparse_qr_solve_mkl`` for
     matrices too large for one chip (BASELINE.md config 5).
     """
+    _check_mesh_axis(mesh, axis, A.n_shards)
+    if getattr(A, "planar", False) or np.dtype(A.dtype).kind == "c":
+        raise NotImplementedError(
+            "sharded_cgls supports real dtypes only"
+        )
     m, k = A.shape
     m_local = A.m_local
     m_pad = A.n_shards * m_local

@@ -417,3 +417,73 @@ class TestHaloSpMV(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestShardingGuards(unittest.TestCase):
+    """Review r5 findings: mesh/shard mismatches and pytree round-trips
+    must be errors or lossless, never silent wrong answers."""
+
+    def setUp(self):
+        self.n_dev = jax.device_count()
+        self.mesh = make_mesh((self.n_dev, 1), ("rows", "cols"))
+        self.A = MATRIX_1.copy().tocsr()[:, :50]
+
+    def test_mismatched_n_shards_raises(self):
+        from sparse_dot_tpu.parallel import shard_csr_rows
+
+        with self.assertRaises(ValueError):
+            shard_csr_rows(self.A, self.n_dev * 2, self.mesh)
+
+    def test_mismatched_op_mesh_raises(self):
+        from sparse_dot_tpu.parallel import (
+            make_mesh, shard_csr_rows, sharded_gram,
+        )
+
+        A_sh = shard_csr_rows(self.A, self.n_dev, self.mesh)
+        if self.n_dev < 2:
+            self.skipTest("needs >= 2 devices")
+        half = make_mesh((self.n_dev // 2, 1), ("rows", "cols"),
+                         devices=jax.devices()[: self.n_dev // 2])
+        with self.assertRaises(ValueError):
+            sharded_gram(half, A_sh)
+
+    def test_pytree_roundtrip_preserves_routing_state(self):
+        from sparse_dot_tpu.parallel import shard_csr_cols
+        from sparse_dot_tpu.parallel.ops import ShardedCSR
+
+        mesh_c = make_mesh((1, self.n_dev), ("rows", "cols"))
+        A_sh = shard_csr_cols(self.A, self.n_dev, mesh_c)
+        leaves, treedef = jax.tree_util.tree_flatten(A_sh)
+        back = jax.tree_util.tree_unflatten(treedef, leaves)
+        self.assertEqual(back.k_local, A_sh.k_local)
+        self.assertIs(back.mesh, A_sh.mesh)
+        self.assertEqual(back.axis, A_sh.axis)
+
+    def test_cols_accepts_device_container(self):
+        from sparse_dot_tpu import formats
+        from sparse_dot_tpu.parallel import shard_csr_cols, \
+            sharded_spmm_2d
+
+        mesh_c = make_mesh((1, self.n_dev), ("rows", "cols"))
+        A_sh = shard_csr_cols(
+            formats.to_device(self.A), self.n_dev, mesh_c
+        )
+        b = np.random.default_rng(5).random((50, 3))
+        got = np.asarray(sharded_spmm_2d(mesh_c, A_sh, b))
+        npt.assert_allclose(got, self.A.toarray() @ b, atol=1e-10)
+
+    def test_complex_sharded_solvers_raise_cleanly(self):
+        from sparse_dot_tpu.parallel import (
+            shard_csr_rows, sharded_cg, sharded_cgls, sharded_gram,
+        )
+
+        Ac = (self.A[:50, :50] + 1j * self.A[:50, :50]).tocsr()
+        A_sh = shard_csr_rows(Ac, self.n_dev, self.mesh)
+        b = np.ones(50)
+        for fn in (
+            lambda: sharded_cg(self.mesh, A_sh, b),
+            lambda: sharded_cgls(self.mesh, A_sh, b),
+            lambda: sharded_gram(self.mesh, A_sh),
+        ):
+            with self.assertRaises(NotImplementedError):
+                fn()

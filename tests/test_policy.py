@@ -188,3 +188,42 @@ def test_empty_mixed_dtype_rule():
         MATRIX_1_EMPTY.astype(np.float32), MATRIX_2.toarray()
     )
     assert got64.dtype == np.float64
+
+
+# Review r5 finding: device containers are first-class cast=True
+# operands — policy._cast_to calls .astype, which containers must
+# implement (it used to raise AttributeError).
+
+
+def test_mixed_dtype_device_pair_cast():
+    from sparse_dot_tpu import formats
+
+    A = sps.random(30, 40, density=0.2, format="csr",
+                   dtype=np.float32, random_state=1)
+    B = sps.random(40, 20, density=0.2, format="csr",
+                   dtype=np.float64, random_state=2)
+    C = dot_product(
+        formats.to_device(A), formats.to_device(B), cast=True
+    )
+    oracle = (A.astype(np.float64) @ B).toarray()
+    np.testing.assert_allclose(C.toarray(), oracle, atol=1e-6)
+
+
+def test_container_astype_identity_and_planar():
+    from sparse_dot_tpu import formats
+    from sparse_dot_tpu.config import config
+
+    A = formats.to_device(
+        sps.random(10, 12, density=0.3, format="csr",
+                   dtype=np.float64, random_state=3)
+    )
+    assert A.astype(np.float64) is A  # identity semantics
+    prev = config.force_planar_complex
+    config.force_planar_complex = True
+    try:
+        Ac = A.astype(np.complex128)
+        assert Ac.planar and Ac.dtype == np.complex128
+        with pytest.raises(ValueError):
+            Ac.astype(np.float64)  # complex -> real never allowed
+    finally:
+        config.force_planar_complex = prev
