@@ -103,7 +103,7 @@ def _probe_compiles(fn):
 
 
 @functools.lru_cache(maxsize=None)
-def supports_full_f64_range(platform=None):
+def supports_full_f64_range():
     """True when the backend represents f64's full dynamic range.
 
     XLA:TPU's X64 rewriter emulates f64 as a pair of f32 ops, so the

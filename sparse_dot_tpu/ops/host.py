@@ -35,8 +35,13 @@ from . import _xla
 # f32-range policy for the hi|lo fast paths
 # ---------------------------------------------------------------------------
 
-_HILO_ABS_MAX = 3.0e38   # just under f32 max
-_HILO_ABS_MIN = 1.0e-37  # above the f32 subnormal flush floor
+_HILO_ABS_MAX = 3.0e38  # just under f32 max
+# The LO limb of a hi|lo split carries ~|v| * 2^-25; it must stay a
+# NORMAL f32 (>= ~1.2e-38) for the split to be exact to ~2^-49, so the
+# floor is min_normal_f32 * 2^25 ~ 4e-31 — not the f32 subnormal
+# boundary itself (review r5 finding: a 1e-37 floor left a six-decade
+# band where the split silently degraded to ~f32 accuracy).
+_HILO_ABS_MIN = 4.0e-31
 
 
 def _hilo_range_ok(arr_np):

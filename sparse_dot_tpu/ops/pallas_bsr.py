@@ -121,14 +121,3 @@ def bsr_spmm_pallas(rowmap, colidx, data, b, m, bs, interpret=False,
         c = c + jnp.asarray(beta, c.dtype) * c0
     return c
 
-
-def bsr_spmm_available(A, b_shape, dtype):
-    """Is the Pallas path applicable for this operand pair?"""
-    bs = A.blocksize[0]
-    return (
-        np.dtype(dtype) == np.dtype(np.float32)
-        and not A.planar
-        and bs % 8 == 0
-        and A.shape[0] % bs == 0
-        and A.nblocks > 0
-    )

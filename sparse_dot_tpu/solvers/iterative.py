@@ -39,8 +39,11 @@ DEFAULT_ATOL = 0.0
 DEFAULT_RTOL = 1e-6
 DEFAULT_MAX_ITER = 1000
 
-_HILO_ABS_MAX = 3.0e38   # just under f32 max
-_HILO_ABS_MIN = 1.0e-37  # above the f32 subnormal flush floor
+_HILO_ABS_MAX = 3.0e38  # just under f32 max
+# Floor = min_normal_f32 * 2^25 ~ 4e-31: the LO limb of a hi|lo split
+# carries ~|v| * 2^-25 and must stay a NORMAL f32 for the split to be
+# exact (review r5 finding; matches ops.host._HILO_ABS_MIN).
+_HILO_ABS_MIN = 4.0e-31
 
 
 def _hilo_safe(*arrays):
@@ -832,6 +835,14 @@ def cg_mrhs(A, B, X0=None, tol=1e-05, maxiter=DEFAULT_MAX_ITER, M=None,
         raise ValueError(
             "cg_mrhs requires a scipy CSR matrix, a device container, "
             f"or a sparse handle; got {type(A)}"
+        )
+    if np.dtype(Ac.dtype) != np.dtype(np.float64):
+        # Same dtype contract as cg()/CGIterativeSparseSolver — the
+        # f64 loop would otherwise silently discard imaginary parts
+        # (review r5 finding).
+        raise ValueError(
+            "Matrix A must be a double-precision scipy CSR matrix "
+            "or a sparse handle"
         )
     n = Ac.shape[0]
     B_np = np.asarray(B, dtype=np.float64)

@@ -71,7 +71,8 @@ _COMPLEX_MTYPES = (3, 4, -4, 6, 13)
 # iparm[10] (scaling), iparm[12] (matching).  Any OTHER nonzero slot
 # warns instead of being silently ignored
 # (reference forwards all 64 slots to MKL, ``_pardiso.py:139-147``).
-_IPARM_ACCEPTED = frozenset({0, 1, 7, 9, 10, 11, 12, 17, 18, 27, 34})
+_IPARM_ACCEPTED = frozenset({0, 1, 6, 7, 9, 10, 11, 12, 17, 18, 27,
+                             34})
 
 
 def _check_iparm(iparm, quiet):
@@ -267,6 +268,21 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
         pt[:] = 0
         return X, pt, perm, 0
 
+    # Symmetric / Hermitian mtypes: MKL reads ONLY the upper triangle
+    # of the supplied matrix and expands it to the full operator
+    # (triangle-stored input is the documented convention; a full
+    # symmetric matrix reconstructs identically).  Without this, a
+    # triangle-stored system solved as if the triangle were the whole
+    # matrix — silently wrong X with error 0 (review r5 finding).
+    if mtype in (2, -2, 4, -4, 6):
+        A_s = A.to_scipy().tocsr() if formats.is_device_sparse(A) else A
+        U = _sps.triu(A_s, format="csr")
+        strict = _sps.triu(A_s, k=1, format="csr")
+        if mtype in (4, -4):  # Hermitian: conjugate the mirrored part
+            A = (U + strict.conj().T).tocsr()
+        else:  # real symmetric / complex symmetric
+            A = (U + strict.T).tocsr()
+
     try:
         A_container = formats.to_device(A)
     except ValueError:
@@ -394,7 +410,7 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
         return X, pt, perm, 0
 
     if do_solve:
-        if "lu" not in state:
+        if state.get("lu") is None:
             return _fail(B, pt, perm, -1, quiet)
         lu, piv = state["lu"]
         mixed = state.get("mixed", False)
@@ -403,6 +419,17 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
         def _solve(b_dev, trans=0):
             nonlocal refine_steps
             if mixed:
+                if jnp.iscomplexobj(b_dev):
+                    # Complex RHS over a REAL mixed-precision factor
+                    # (e.g. GPU backends where supports_f64_lu() is
+                    # False): solve the real and imaginary parts
+                    # separately — the old .astype(float64) cast
+                    # silently dropped Im(B) (review r5 finding).
+                    # scipy trans 1 (A^T) and 2 (A^H) coincide on a
+                    # real operator.
+                    xr = _solve(jnp.real(b_dev), trans=min(trans, 1))
+                    xi = _solve(jnp.imag(b_dev), trans=min(trans, 1))
+                    return xr + 1j * xi
                 x, steps = _lu_solve_refined(
                     lu, piv, state["a_dense"],
                     b_dev.astype(jnp.float64),
@@ -461,7 +488,7 @@ def export_factorization(pt):
     """
     key = int(np.asarray(pt)[0])
     state = _factor_store.get(key)
-    if state is None or "lu" not in state:
+    if state is None or state.get("lu") is None:
         raise ValueError(
             "pt does not reference a live factorization (run phase "
             "12/13/22/23 first)"

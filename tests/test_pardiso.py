@@ -363,3 +363,65 @@ def test_iparm_one_based_indexing_warns():
             _A.astype(np.float64), _B[:, 0].astype(np.float64),
             pt, 11, iparm, 13,
         )
+
+
+def test_symmetric_mtype_expands_upper_triangle():
+    """MKL reads only the UPPER triangle for symmetric mtypes and
+    expands it; triangle-stored input must therefore solve the full
+    symmetric operator (review r5 finding: the triangle used to be
+    solved as if it were the whole matrix)."""
+    n = 40
+    rng = np.random.default_rng(33)
+    M = sps.random(n, n, density=0.2, random_state=33, format="csr")
+    A_full = (M @ M.T + n * sps.identity(n)).tocsr()
+    A_upper = sps.triu(A_full).tocsr()  # triangle-stored input
+    b = rng.random(n)
+    pt, iparm = pardisoinit(2)
+    X, _, _, err = pardiso(A_upper, b, pt, 2, iparm, 13)
+    assert err == 0
+    npt.assert_array_almost_equal(
+        X, np.linalg.solve(A_full.toarray(), b), decimal=6
+    )
+
+
+def test_hermitian_mtype_expands_conjugate():
+    n = 30
+    rng = np.random.default_rng(35)
+    M = sps.random(n, n, density=0.2, random_state=35,
+                   format="csr").astype(np.complex128)
+    M = M + 1j * sps.random(n, n, density=0.2, random_state=36,
+                            format="csr")
+    A_full = (M @ M.conj().T + n * sps.identity(n)).tocsr()
+    A_upper = sps.triu(A_full).tocsr()
+    b = rng.random(n) + 1j * rng.random(n)
+    pt, iparm = pardisoinit(4)
+    X, _, _, err = pardiso(A_upper, b, pt, 4, iparm, 13)
+    assert err == 0
+    npt.assert_array_almost_equal(
+        X, np.linalg.solve(A_full.toarray(), b), decimal=6
+    )
+
+
+def test_export_factorization_iterative_route_raises_cleanly():
+    """The matrix-free route stores no dense factor; export must raise
+    the documented ValueError, not a TypeError unpack crash."""
+    from sparse_dot_tpu.config import config as _cfg
+    from sparse_dot_tpu.solvers import export_factorization
+
+    old = _cfg.pardiso_dense_budget_bytes
+    _cfg.pardiso_dense_budget_bytes = 1 << 10
+    try:
+        n = 80
+        M = sps.random(n, n, density=0.1, random_state=40, format="csr")
+        A = (M @ M.T + n * sps.identity(n)).tocsr()
+        b = np.random.default_rng(41).random(n)
+        pt, iparm = pardisoinit(2)
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            _, pt, _, err = pardiso(A, b, pt, 2, iparm, 13)
+        assert err == 0
+        with pytest.raises(ValueError):
+            export_factorization(pt)
+    finally:
+        _cfg.pardiso_dense_budget_bytes = old

@@ -548,3 +548,16 @@ class TestEllHiloRangeGate(unittest.TestCase):
             npt.assert_allclose(x, xt, rtol=1e-8)
         finally:
             _qr._QR_DENSIFY_BUDGET = old
+
+
+class TestCGMrhsDtypeGuard(unittest.TestCase):
+    def test_complex_rejected(self):
+        # Same dtype contract as cg() — complex A must raise, not
+        # silently solve against Re(A) (review r5 finding).
+        from sparse_dot_tpu.solvers import cg_mrhs
+
+        n = 20
+        M = sps.random(n, n, density=0.3, random_state=7, format="csr")
+        Ac = (M + M.T + n * sps.identity(n)).astype(np.complex128).tocsr()
+        with self.assertRaises(ValueError):
+            cg_mrhs(Ac, np.ones((n, 2)))
