@@ -147,21 +147,24 @@ def _spmm_scatter_oneshot(rows, cols, vals, b, m):
 @partial(jax.jit, static_argnames=("m", "nchunks"))
 def _spmm_scatter_chunked(rows, cols, vals, b, m, nchunks):
     """Scan over nnz chunks to bound memory: each step gathers a chunk of
-    B rows, scales, and scatter-adds into the dense accumulator."""
-    n = b.shape[1]
-    chunk = rows.shape[0] // nchunks
-    rows_c = rows.reshape(nchunks, chunk)
-    cols_c = cols.reshape(nchunks, chunk)
-    vals_c = vals.reshape(nchunks, chunk)
+    B rows, scales, and scatter-adds into the dense accumulator.
+    Jitted wrapper of :func:`_chunked_body` (one shared body — keeping
+    two copies in sync by hand is how chunking bugs are born)."""
+    return _chunked_body(rows, cols, vals, b, m, nchunks)
 
-    def step(c, args):
-        r, k, v = args
-        g = v[:, None] * b[k, :]
-        return c.at[r].add(g, mode="drop"), None
 
-    c0 = jnp.zeros((m, n), dtype=vals.dtype)
-    c, _ = lax.scan(step, c0, (rows_c, cols_c, vals_c))
-    return c
+def _pad_coo_chunks(rows, cols, vals, m, nnz, n, chunk_elements):
+    """(rows, cols, vals, nchunks) padded so nnz divides the chunk
+    count; padded entries scatter to row m, which ``mode="drop"``
+    discards.  Shared by every chunked-scatter entry point."""
+    nchunks = max(1, (nnz * n) // chunk_elements)
+    chunk = -(-nnz // nchunks)
+    pad = nchunks * chunk - nnz
+    if pad:
+        rows = jnp.concatenate([rows, jnp.full((pad,), m, rows.dtype)])
+        cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+    return rows, cols, vals, nchunks
 
 
 def coo_spmm_raw(rows, cols, vals, b, m, chunk_elements=1 << 24):
@@ -178,15 +181,9 @@ def coo_spmm_raw(rows, cols, vals, b, m, chunk_elements=1 << 24):
         return jax.jit(_spmm_scatter_oneshot, static_argnames=("m",))(
             rows, cols, vals, b, m=m
         )
-    # Pad nnz to a multiple of the chunk count; padded entries scatter to
-    # row index m which is dropped (mode="drop").
-    nchunks = max(1, (nnz * n) // chunk_elements)
-    chunk = -(-nnz // nchunks)
-    pad = nchunks * chunk - nnz
-    if pad:
-        rows = jnp.concatenate([rows, jnp.full((pad,), m, rows.dtype)])
-        cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
-        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+    rows, cols, vals, nchunks = _pad_coo_chunks(
+        rows, cols, vals, m, nnz, n, chunk_elements
+    )
     return _spmm_scatter_chunked(rows, cols, vals, b, m=m, nchunks=nchunks)
 
 
@@ -235,7 +232,10 @@ def sorted_set_scatter(dest, vals, size):
         a = jnp.abs(vals)
         mx = jnp.max(a)
         nz_min = jnp.min(jnp.where(a == 0, jnp.inf, a))
-        ok = (mx <= 3e38) & (nz_min >= 1e-37)  # False for NaN mx
+        # Floor 4e-31 = min_normal_f32 * 2^25: the LO limb carries
+        # ~|v| * 2^-25 and must stay a NORMAL f32 for the split to be
+        # exact (matches ops.host._HILO_ABS_MIN).
+        ok = (mx <= 3e38) & (nz_min >= 4e-31)  # False for NaN mx
 
         def fast(v):
             hi, lo = _ozaki.hilo(v)
@@ -515,13 +515,9 @@ def coo_spmm(rows, cols, vals, b, m, k, alpha=1.0, beta=0.0, c0=None,
     )
     nchunks = 1
     if not use_mxu and nnz * n > chunk_elements:
-        nchunks = max(1, (nnz * n) // chunk_elements)
-        chunk = -(-nnz // nchunks)
-        pad = nchunks * chunk - nnz
-        if pad:
-            rows = jnp.concatenate([rows, jnp.full((pad,), m, rows.dtype)])
-            cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
-            vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+        rows, cols, vals, nchunks = _pad_coo_chunks(
+            rows, cols, vals, m, nnz, n, chunk_elements
+        )
 
     trivial_alpha = isinstance(alpha, (int, float)) and alpha == 1.0
     return _spmm_fused(
@@ -1556,7 +1552,16 @@ def densify_indicator(rows, cols, shape):
 def extract_sparse_masked(c_dense, mask_flat, nnz):
     """Dense + structural mask -> CSR arrays with exactly ``nnz``
     stored entries (``nnz`` = the mask's popcount; explicitly-zero
-    values are kept, matching MKL/scipy structural output)."""
+    values are kept, matching MKL/scipy structural output).
+
+    On the sortedness hints: ``dest`` is ascending over the LIVE slots
+    with the out-of-range ``nnz`` sentinel interleaved at masked-off
+    positions.  Unlike the rank-compaction pattern `_esc_sort_compress`
+    documents as hint-unsafe (live destinations JUMPING between
+    dropped slots), this monotone-live/constant-sentinel shape is
+    hint-safe on XLA:TPU — validated against the scipy oracle on v5e
+    at 250k, 16M, and (via the blocked route) 49M-element extractions,
+    f32 and f64, cold and steady-state (round-5 review question)."""
     m, n = c_dense.shape
     flat = c_dense.reshape(-1)
     pos = prefix_sum(mask_flat) - 1

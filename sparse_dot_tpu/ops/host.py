@@ -452,8 +452,12 @@ def _bilinear_host(A, b_np, one_pass, out_dtype, alpha=1.0,
         )
         if not split_ok:
             formats._warn_f64_range(np.asarray(b_np))
+        # br IS the (transfer-cache-validated) device upload of b from
+        # _dense_parts above — a second bare jnp.asarray here was an
+        # uncached duplicate transfer on every call (review r5
+        # finding).
         res = one_pass(
-            A, ar, jnp.asarray(np.asarray(b_np)), transpose,
+            A, ar, br, transpose,
             alpha=None if a_trivial else alpha,
             beta=beta if c0 is not None else None,
             c0=c0, split_ok=split_ok,
@@ -466,9 +470,15 @@ def _bilinear_host(A, b_np, one_pass, out_dtype, alpha=1.0,
         # unconditionally, saturating out-of-window complex planes).
         # Checked on the HOST operand (br/bi are device uploads).
         b_host = np.asarray(b_np)
+        # Only DOUBLE-precision channels (f64 real / complex128) use
+        # the hi|lo split; f32/complex64 planes ride natively and need
+        # neither the scan nor the warning (review r5 finding: the
+        # itemsize test misclassified complex64, itemsize 8).
+        b_double = np.dtype(b_host.dtype) in (
+            np.dtype(np.float64), np.dtype(np.complex128)
+        )
         split_ok = (
-            np.dtype(b_host.dtype).kind not in "fc"
-            or np.dtype(b_host.dtype).itemsize < 8
+            not b_double
             or _hilo_range_ok(b_host.real)
             and _hilo_range_ok(b_host.imag)
         )
@@ -528,9 +538,11 @@ def gemm(a_np, b_np, out_dtype, alpha=1.0, out=None, out_scalar=None):
     if not a_planar and not b_planar:
         # alpha/beta/out accumulate fused into the device GEMM program
         # (cblas semantics C := alpha*AB + beta*C, ``_dense_dense.py``).
+        # ar/br ARE the cached device uploads from _dense_parts; bare
+        # jnp.asarray here was a duplicate uncached transfer per call.
         c0 = jnp.asarray(np.asarray(out)) if out is not None else None
         return np.asarray(
-            _xla.gemm(jnp.asarray(a_np), jnp.asarray(b_np), alpha=alpha,
+            _xla.gemm(ar, br, alpha=alpha,
                       beta=beta if c0 is not None else 0.0, c0=c0)
         ).astype(out_dtype, copy=False)
     else:
@@ -772,6 +784,27 @@ _BLOCKED_SPGEMM_BYTES = 2 << 30
 _SPGEMM_ROW_BLOCK = 4096
 
 
+def _blocked_budget(out_dtype):
+    """Dense-intermediate byte budget for the one-shot medium route.
+
+    On accelerator backends the X64 rewriter stores f64 as f32 PAIRS
+    and the fused structural program carries mask/prefix temporaries
+    alongside the dense product, so the real footprint is several
+    times m*n*8 — a 1.4 GB nominal intermediate ResourceExhausted a
+    16 GB v5e (measured, round 5).  f64-on-accelerator gets a quarter
+    of the nominal budget; f32 and CPU keep the full 2 GB."""
+    if (np.dtype(out_dtype).itemsize == 8
+            and _default_platform() != "cpu"):
+        return _BLOCKED_SPGEMM_BYTES // 4
+    return _BLOCKED_SPGEMM_BYTES
+
+
+def _default_platform():
+    from ..backend import default_platform
+
+    return default_platform()
+
+
 def _blocked_spgemm_arrays(A, B, out_dtype, triangular):
     """Row-blocked structural SpGEMM: for each block of A's rows, run
     the fused numeric-plus-pattern phase against (densified) B and
@@ -971,9 +1004,10 @@ def _spgemm_esc_arrays_impl(A, B, out_dtype, triangular=False):
 
     if not getattr(config, "spgemm_esc_force_sort", False) and nchan == 1:
         itemsize = np.dtype(out_dtype).itemsize
+        budget = _blocked_budget(out_dtype)
         dense_ok = (
-            k * n * itemsize <= _BLOCKED_SPGEMM_BYTES
-            and m * k * itemsize <= _BLOCKED_SPGEMM_BYTES
+            k * n * itemsize <= budget
+            and m * k * itemsize <= budget
             and n * _SPGEMM_ROW_BLOCK * itemsize <= (512 << 20)
             and k * _SPGEMM_ROW_BLOCK * itemsize <= (512 << 20)
         )
@@ -1549,10 +1583,10 @@ def _spgemm_routed(A, B, out_dtype, triangular):
         A.planar or B.planar or np.dtype(out_dtype).kind == "c"
     )
 
-    if m * n * itemsize > _BLOCKED_SPGEMM_BYTES:
+    if m * n * itemsize > _blocked_budget(out_dtype):
         blocked_ok = (
             not is_complex
-            and k * n * itemsize <= _BLOCKED_SPGEMM_BYTES  # dense B fits
+            and k * n * itemsize <= _blocked_budget(out_dtype)  # B fits
             and n * _SPGEMM_ROW_BLOCK * itemsize <= (512 << 20)
             and k * _SPGEMM_ROW_BLOCK * itemsize <= (512 << 20)  # A panel
         )

@@ -35,13 +35,41 @@ import jax
 
 
 def is_initialized():
-    """True once ``jax.distributed.initialize`` has run in this process."""
+    """True once ``jax.distributed.initialize`` has run in this process.
+
+    Deliberately touches NOTHING that would initialize the XLA backend
+    (``jax.process_count()`` would): ``jax.distributed.initialize``
+    must run before the first backend query, so the probe here has to
+    stay side-effect free (review r5 finding)."""
     try:
         from jax._src import distributed as _dist
 
         return _dist.global_state.client is not None
     except Exception:
-        return jax.process_count() > 1
+        return False
+
+
+def _tpu_platform_hint():
+    """TPU detection WITHOUT initializing the XLA backend.
+
+    ``jax.default_backend()`` initializes backends, after which
+    ``jax.distributed.initialize`` raises — exactly on the TPU pods
+    the auto-detection exists for.  Environment sniffing is the only
+    side-effect-free signal."""
+    import os
+
+    plats = (os.environ.get("JAX_PLATFORMS", "")
+             or os.environ.get("JAX_PLATFORM_NAME", "")).lower()
+    if "tpu" in plats:
+        return True
+    return any(
+        os.environ.get(v)
+        for v in (
+            "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+            "CLOUD_TPU_TASK_ID", "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_SKYLARK_HOST_BOUNDS",
+        )
+    )
 
 
 def initialize(coordinator_address=None, num_processes=None,
@@ -52,23 +80,29 @@ def initialize(coordinator_address=None, num_processes=None,
     (``_mkl_interface/__init__.py:108-163``) for the scaling dimension
     the reference never had.  No-ops when already initialized.  On TPU
     pods call with no arguments (topology is auto-detected); elsewhere
-    pass the coordinator's ``host:port`` plus the process grid.
+    pass the coordinator's ``host:port`` plus the process grid.  Must
+    run before the first JAX backend query in the process (a JAX
+    constraint; the gating here is careful not to trigger one).
 
     Returns a dict of the resulting process topology (see
     :func:`process_info`).
     """
-    if not is_initialized() and (
-        coordinator_address is not None
-        or num_processes is not None
-        or jax.default_backend() == "tpu"
-    ):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-            local_device_ids=local_device_ids,
-            **kwargs,
-        )
+    auto = coordinator_address is None and num_processes is None
+    if not is_initialized() and (not auto or _tpu_platform_hint()):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                local_device_ids=local_device_ids,
+                **kwargs,
+            )
+        except (ValueError, RuntimeError):
+            if not auto:
+                raise
+            # TPU-flavored environment without a resolvable cluster
+            # (single-host containers set TPU env vars without pod
+            # metadata): stay single-process.
     return process_info()
 
 

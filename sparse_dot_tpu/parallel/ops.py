@@ -956,6 +956,47 @@ def sharded_cgls(mesh, A, b, tol=1e-12, maxiter=500, axis="rows"):
     m_local = A.m_local
     m_pad = A.n_shards * m_local
 
+    solve = _cgls_program(
+        mesh, axis, int(A.n_shards), int(m_local), int(k),
+        float(tol), int(maxiter),
+    )
+
+    b = np.asarray(b).ravel()
+    b_pad = jnp.concatenate(
+        [jnp.asarray(b), jnp.zeros(m_pad - m, jnp.asarray(b).dtype)]
+    )
+    # Column norms from the padded COO shards (pad slots carry zero
+    # values, so they contribute nothing); one C-speed host pass,
+    # memoized per value buffer (multi-RHS callers loop columns).
+    dcache = getattr(A, "_cgls_dcache", None)
+    if dcache is not None and dcache[0] is A.vals:
+        d_np = dcache[1]
+    else:
+        vals_np = np.asarray(A.vals).reshape(-1).astype(np.float64)
+        cols_np = np.asarray(A.cols).reshape(-1)
+        sq = np.bincount(
+            cols_np, weights=vals_np * vals_np, minlength=k
+        )[:k]
+        norms = np.sqrt(sq)
+        d_np = np.where(norms > 0, 1.0 / np.maximum(norms, 1e-300), 1.0)
+        try:
+            A._cgls_dcache = (A.vals, d_np)
+        except Exception:
+            pass
+    x, res, it = solve(
+        A.rows, A.cols, A.vals, b_pad, jnp.asarray(d_np, b_pad.dtype)
+    )
+    return np.asarray(x), float(res), int(it)
+
+
+@functools.lru_cache(maxsize=32)
+def _cgls_program(mesh, axis, n_shards, m_local, k, tol, maxiter):
+    """Compiled distributed-CGLS program, cached per (mesh, shapes,
+    tol, maxiter).  Defining the jitted closure inside sharded_cgls
+    recompiled the whole while_loop on EVERY call — a 20-column
+    multi-RHS solve paid 20 identical XLA compiles (review r5
+    finding)."""
+
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -976,10 +1017,10 @@ def sharded_cgls(mesh, A, b, tol=1e-12, maxiter=500, axis="rows"):
     )
     def _adj(rows, cols, vals, y_sharded):
         # swap row/col roles: A_s^T y_s, then sum over shards
-        partial = _xla.coo_spmv(
+        partial_ = _xla.coo_spmv(
             cols[0], rows[0], vals[0], y_sharded[0], m=k
         )
-        return jax.lax.psum(partial, axis)
+        return jax.lax.psum(partial_, axis)
 
     @jax.jit
     def _solve(rows, cols, vals, b_pad, d):
@@ -992,7 +1033,7 @@ def sharded_cgls(mesh, A, b, tol=1e-12, maxiter=500, axis="rows"):
 
         def adj(y):
             return d * _adj(
-                rows, cols, vals, y.reshape(A.n_shards, m_local)
+                rows, cols, vals, y.reshape(n_shards, m_local)
             )
 
         x0 = jnp.zeros((k,), b_pad.dtype)
@@ -1019,20 +1060,4 @@ def sharded_cgls(mesh, A, b, tol=1e-12, maxiter=500, axis="rows"):
         x, r, _, s2, it = jax.lax.while_loop(cond, body, state)
         return d * x, jnp.linalg.norm(r), it
 
-    b = np.asarray(b).ravel()
-    b_pad = jnp.concatenate(
-        [jnp.asarray(b), jnp.zeros(m_pad - m, jnp.asarray(b).dtype)]
-    )
-    # Column norms from the padded COO shards (pad slots carry zero
-    # values, so they contribute nothing); one C-speed host pass.
-    vals_np = np.asarray(A.vals).reshape(-1).astype(np.float64)
-    cols_np = np.asarray(A.cols).reshape(-1)
-    sq = np.bincount(
-        cols_np, weights=vals_np * vals_np, minlength=k
-    )[:k]
-    norms = np.sqrt(sq)
-    d_np = np.where(norms > 0, 1.0 / np.maximum(norms, 1e-300), 1.0)
-    x, res, it = _solve(
-        A.rows, A.cols, A.vals, b_pad, jnp.asarray(d_np, b_pad.dtype)
-    )
-    return np.asarray(x), float(res), int(it)
+    return _solve

@@ -262,20 +262,38 @@ def sparse_qr_solver(matrix_a, matrix_b, cast=False):
                 "Sharded QR solve requires the ShardedCSR to carry a "
                 "mesh (shard_csr_rows(..., mesh=...))"
             )
+        # Same guards and output-dtype contract as the single-chip
+        # route (review r5 finding: the early return used to skip
+        # them — f32 problems returned f64 and shape mismatches
+        # surfaced as opaque shard_map errors).
+        if matrix_a.shape[0] != np.asarray(matrix_b).shape[0]:
+            raise ValueError(
+                f"Bad matrix shapes for AX=B solver: "
+                f"A {matrix_a.shape} & B {np.asarray(matrix_b).shape}"
+            )
+        if np.dtype(matrix_a.dtype).kind == "c":
+            raise ValueError(
+                "Complex datatypes are not supported by the QR solver"
+            )
         from ..parallel.ops import sharded_cgls
 
+        out_dt = (
+            np.float64
+            if np.dtype(matrix_a.dtype) == np.float64
+            else np.float32
+        )
         b_np = np.asarray(matrix_b, dtype=np.float64)
         if b_np.ndim == 1:
             x, _, _ = sharded_cgls(
                 matrix_a.mesh, matrix_a, b_np, axis=matrix_a.axis
             )
-            return x
+            return x.astype(out_dt, copy=False)
         outs = [
             sharded_cgls(matrix_a.mesh, matrix_a, b_np[:, i],
                          axis=matrix_a.axis)[0]
             for i in range(b_np.shape[1])
         ]
-        return np.stack(outs, axis=1)
+        return np.stack(outs, axis=1).astype(out_dt, copy=False)
 
     if formats.is_csc(matrix_a) and not cast:
         raise ValueError(
