@@ -154,7 +154,9 @@ def _measure_hbm_bw():
         t0 = time.perf_counter()
         float(probe(x))
         times.append(time.perf_counter() - t0)
-    dt = max(min(times) - _measure_rtt() * 1e-3, 1e-5)
+    dt = min(times) - _measure_rtt() * 1e-3
+    if dt <= 2e-3:
+        return None  # probe wall swallowed by RTT jitter: no signal
     return (k_passes * x.size * 4) / dt / 1e9
 
 
@@ -283,7 +285,9 @@ def _measure_link_bw():
         t0 = time.perf_counter()
         np.asarray(y)
         times.append(time.perf_counter() - t0)
-    dt = max(min(times) - _measure_rtt() * 1e-3, 1e-5)
+    dt = min(times) - _measure_rtt() * 1e-3
+    if dt <= 2e-3:
+        return None  # readback wall swallowed by RTT jitter
     return (8 << 20) * 4 / dt / 1e9
 
 
@@ -316,7 +320,9 @@ def _measure_mxu_tput():
         t0 = time.perf_counter()
         float(probe(a))
         times.append(time.perf_counter() - t0)
-    dt = max(min(times) - _measure_rtt() * 1e-3, 1e-3)
+    dt = min(times) - _measure_rtt() * 1e-3
+    if dt <= 2e-3:
+        return None  # probe wall swallowed by RTT jitter
     return k_passes * 2 * n ** 3 / dt / 1e12
 
 
@@ -613,14 +619,15 @@ def main():
     # HERE a value above the streaming roof is impossible and clamps.
     gather_bw_hbm, gather_clamped = {}, []
     for gname, gval in _measure_gather_bw(k_rows=1 << 18).items():
-        if gval is not None and gval > hbm_bw:
+        if (gval is not None and hbm_bw is not None
+                and gval > hbm_bw):
             gather_clamped.append(gname)
             gval = hbm_bw
         gather_bw_hbm[gname] = gval
 
     def _sol_ms(gather_key, elem_bytes, idx_bytes):
         g = gather_bw[gather_key]
-        if g is None:
+        if g is None or hbm_bw is None:
             return None
         return (
             Asp.nnz * n_cols * elem_bytes / (g * 1e9)
@@ -656,14 +663,15 @@ def main():
     _t, _D, _dj = _oz.plan(5000)
     oz_pairs = _D * (_D + 1) // 2
     oz_flops = 2.0 * 500 * 5000 * 500 * oz_pairs
-    compute_ms = oz_flops / (mxu_tflops * 1e12) * 1e3
-    stream_ms = spgemm_traffic / (hbm_bw * 1e9) * 1e3
-    # syrk fast path: ONE hi/lo densify of X (2 sorted-set scatters).
-    if scatter_rate is not None:
+    if mxu_tflops is None or hbm_bw is None or scatter_rate is None:
+        spgemm_sol_ms = None
+    else:
+        compute_ms = oz_flops / (mxu_tflops * 1e12) * 1e3
+        stream_ms = spgemm_traffic / (hbm_bw * 1e9) * 1e3
+        # syrk fast path: ONE hi/lo densify of X (2 sorted-set
+        # scatters).
         densify_ms = 2 * X.nnz / scatter_rate * 1e3
         spgemm_sol_ms = densify_ms + max(compute_ms, stream_ms)
-    else:
-        spgemm_sol_ms = None
     spgemm_sol = _pct(spgemm_sol_ms, numeric_ms)
     # A per-call-densify roof vs a plane-cached steady state CAN exceed
     # 100% — that is the cache amortizing the scatter term, and the
@@ -680,8 +688,9 @@ def main():
     res_bytes = (X @ XT).nnz * 12 + 500 * 4
     e2e_minus_transfer = (
         e2e_ms - res_bytes / (link_bw * 1e9) * 1e3 - _measure_rtt()
+        if link_bw is not None else None
     )
-    if e2e_minus_transfer <= 0:
+    if e2e_minus_transfer is not None and e2e_minus_transfer <= 0:
         # Transfer + RTT fully account for the e2e wall time; a clamped
         # 0.0 carries no information (VERDICT r4 weak #2) — say so.
         e2e_minus_transfer = None
@@ -927,9 +936,9 @@ def main():
             "qr_1m_chip_warm_s": _r(qr_1m_warm_s, 1),
             "qr_1m_chip_xerr": qr_1m_xerr,
             "qr_1m_chip_iters": qr_1m_iters,
-            "qr_illcond_100k_s": _r(qr_ill_s, 2),
-            "qr_illcond_100k_iters": qr_ill_iters,
-            "qr_illcond_100k_xerr": qr_ill_xerr,
+            "qr_illcond_200k_s": _r(qr_ill_s, 2),
+            "qr_illcond_200k_iters": qr_ill_iters,
+            "qr_illcond_200k_xerr": qr_ill_xerr,
             "scaling": scaling,
             "spgemm_blocked_ms": _r(spgemm_blocked_ms),
             "spgemm_numeric_pipelined_ms": _r(numeric_ms),

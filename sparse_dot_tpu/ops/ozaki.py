@@ -92,6 +92,18 @@ def hilo(x64):
     return hi, lo
 
 
+def _require_supported(k):
+    """Clear error at the public entry instead of a cryptic
+    ``jnp.stack([])`` failure deep inside jit when the contraction is
+    too long for exact bf16-slice accumulation (review r5 finding)."""
+    if not supported(k):
+        raise ValueError(
+            f"Ozaki f64 matmul does not support contraction length "
+            f"{k} (exact bf16-slice accumulation needs k <= 2^22); "
+            "disable with SPARSE_DOT_OZAKI=0 or use the non-Ozaki path"
+        )
+
+
 def _extract_slices(hi, lo, contract_axis, t, D, d_join):
     """Split a (hi, lo) f32 pair into D bf16 slices plus per-row (or
     per-column) power-of-two exponents.
@@ -102,14 +114,20 @@ def _extract_slices(hi, lo, contract_axis, t, D, d_join):
     """
     maxabs = jnp.max(jnp.abs(hi), axis=contract_axis, keepdims=True)
     _, e = jnp.frexp(maxabs)  # maxabs = m * 2^e, m in [0.5, 1); e=0 at 0
-    # Scale into (-1, 1) by 2^-e in two exact power-of-two steps so the
-    # scale factor itself never leaves f32's normal range.
+    # Scale into (-1, 1) by 2^-e applied SEQUENTIALLY in two exact
+    # power-of-two steps.  NOT as a single combined factor
+    # ldexp(1,-e1)*ldexp(1,-e2): for |e| >= ~127 that product itself
+    # overflows to inf (tiny operands) or goes subnormal (operands
+    # near 1e38 — inside the library's 3e38 hi|lo gate), corrupting
+    # every slice (review r5 finding, verified numerically).  Each
+    # sequential half stays a normal f32, and each multiply is exact.
     e1 = e // 2
     e2 = e - e1
     one = jnp.ones_like(maxabs)
-    sc = jnp.ldexp(one, -e1) * jnp.ldexp(one, -e2)
-    rem = hi * sc
-    lo_n = lo * sc
+    s1 = jnp.ldexp(one, -e1)
+    s2 = jnp.ldexp(one, -e2)
+    rem = (hi * s1) * s2
+    lo_n = (lo * s1) * s2
     slices = []
     for d in range(D):
         if d == d_join:
@@ -131,16 +149,17 @@ def _extract_slices(hi, lo, contract_axis, t, D, d_join):
 
 
 def _pow2_f64(e):
-    """2.0**e as f64 for an int32 array ``e`` (|e| <= ~254), built from
-    two exact f32 ldexp halves — f64 ``ldexp``/``frexp`` hit an
-    unimplemented X64-rewriter path on TPU."""
-    e1 = e // 2
-    e2 = e - e1
+    """2.0**e as f64 for an int32 array ``e`` (|e| <= ~490), built from
+    four exact f32 ldexp quarters multiplied in f64 — f64
+    ``ldexp``/``frexp`` hit an unimplemented X64-rewriter path on TPU,
+    and the earlier two-half form overflowed f32 at |e| >= 255, which
+    is reachable: both operands' row maxima near 3e38 (inside the
+    hi|lo gate) give an exponent sum of 256 (review r5 finding)."""
+    q = e // 4
+    r = e - 3 * q
     one = jnp.ones(np.shape(e), jnp.float32)
-    return (
-        jnp.ldexp(one, e1).astype(jnp.float64)
-        * jnp.ldexp(one, e2).astype(jnp.float64)
-    )
+    pq = jnp.ldexp(one, q).astype(jnp.float64)
+    return pq * pq * pq * jnp.ldexp(one, r).astype(jnp.float64)
 
 
 def _pair_products_sum(a_sl, a_contract, b_sl, b_contract, D):
@@ -185,6 +204,7 @@ def matmul_hilo(a_hi, a_lo, b_hi, b_lo, a_contract=1, b_contract=0):
     operand; output is (lhs non-contract, rhs non-contract) in f64.
     """
     k = a_hi.shape[a_contract]
+    _require_supported(k)
     t, D, dj = plan(k)
     a_sl, a_e = _extract_slices(a_hi, a_lo, a_contract, t, D, dj)
     b_sl, b_e = _extract_slices(b_hi, b_lo, b_contract, t, D, dj)
@@ -197,6 +217,7 @@ def syrk_hilo(a_hi, a_lo, contract=1):
     """A @ A^T (contracting ``contract`` on both sides) from a single
     slice extraction — the gram / X @ X.T fast path."""
     k = a_hi.shape[contract]
+    _require_supported(k)
     t, D, dj = plan(k)
     a_sl, a_e = _extract_slices(a_hi, a_lo, contract, t, D, dj)
     c = _pair_products_sum(a_sl, contract, a_sl, contract, D)

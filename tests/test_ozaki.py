@@ -11,6 +11,7 @@ adversarial magnitude ranges.
 import unittest
 
 import numpy as np
+import numpy.testing as npt
 import scipy.sparse as sps
 
 import jax.numpy as jnp
@@ -198,3 +199,66 @@ class TestPlanarSliceCacheRoles(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestOzakiRangeEdges(unittest.TestCase):
+    """Review r5 findings: the slice extraction's combined scale factor
+    overflowed/flushed f32 for |row max| outside ~[1e-38, 1e38], and
+    the exponent rescale overflowed at exponent sums >= 255 — all
+    reachable inside the library's 3e38 hi|lo operand gate."""
+
+    def _matmul(self, a, b):
+        from sparse_dot_tpu.ops import ozaki
+
+        ah, al = ozaki.hilo(jnp.asarray(a))
+        bh, bl = ozaki.hilo(jnp.asarray(b))
+        return np.asarray(ozaki.matmul_hilo(ah, al, bh, bl))
+
+    def test_tiny_operands_in_window(self):
+        # Smallest scale inside the library's hi|lo window (the
+        # 4e-31 lo-limb floor): full Ozaki accuracy applies.
+        rng = np.random.default_rng(3)
+        a = rng.standard_normal((16, 64)) * 1e-28
+        b = rng.standard_normal((64, 8)) * 1e-28
+        got = self._matmul(a, b)
+        self.assertTrue(np.isfinite(got).all())
+        npt.assert_allclose(got, a @ b, rtol=1e-8)
+
+    def test_below_floor_stays_finite(self):
+        # Below the floor the lo limb is subnormal and accuracy
+        # degrades (which is why the library's gate routes such
+        # operands elsewhere) — but the scale factor must no longer
+        # overflow to inf (the pre-fix behavior).
+        rng = np.random.default_rng(4)
+        a = rng.standard_normal((16, 64)) * 1e-36
+        b = rng.standard_normal((64, 8)) * 1e-36
+        got = self._matmul(a, b)
+        self.assertTrue(np.isfinite(got).all())
+        npt.assert_allclose(got, a @ b, rtol=0.5)
+
+    def test_huge_operands_exponent_sum_256(self):
+        # uniform magnitudes pin max|v| at exactly 1e38 (a randn tail
+        # could cross f32 max and corrupt the hi split by design)
+        rng = np.random.default_rng(5)
+        a = rng.uniform(0.5, 1.0, (16, 64)) * np.where(
+            rng.random((16, 64)) < 0.5, -1e38, 1e38)
+        b = rng.uniform(0.5, 1.0, (64, 8)) * np.where(
+            rng.random((64, 8)) < 0.5, -1e38, 1e38)
+        got = self._matmul(a, b)
+        self.assertTrue(np.isfinite(got).all())
+        npt.assert_allclose(got, a @ b, rtol=1e-8)
+
+    def test_mixed_extreme_scales(self):
+        rng = np.random.default_rng(7)
+        a = rng.standard_normal((16, 64)) * 1e37
+        b = rng.standard_normal((64, 8)) * 1e-28
+        got = self._matmul(a, b)
+        self.assertTrue(np.isfinite(got).all())
+        npt.assert_allclose(got, a @ b, rtol=1e-8)
+
+    def test_unsupported_contraction_raises_clearly(self):
+        from sparse_dot_tpu.ops import ozaki
+
+        with self.assertRaises(ValueError):
+            a = jnp.ones((2, 1 << 23), jnp.float32)
+            ozaki.matmul_hilo(a, a, a.T, a.T)
