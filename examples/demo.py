@@ -6,12 +6,18 @@ containers, sharded execution).
 Run: ``python examples/demo.py``
 """
 
+import os
+import sys
 import time
 
 import numpy as np
 import scipy.sparse as sps
 
-import sparse_dot_tpu as sdt
+# Runnable without installation: python examples/demo.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import sparse_dot_tpu as sdt  # noqa: E402
 
 
 def timeit(name, fn, reps=5):

@@ -18,7 +18,7 @@ import os
 
 import numpy as np
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 # ---------------------------------------------------------------------------
 # Index width policy (the LP64 / ILP64 analog)
