@@ -80,16 +80,6 @@ def supports_native_complex(platform=None):
         return False
 
 
-@functools.lru_cache(maxsize=None)
-def supports_float64(platform=None):
-    try:
-        x = jnp.ones((2, 2), dtype=np.float64)
-        jax.block_until_ready(x @ x)
-        return True
-    except Exception:
-        return False
-
-
 def _probe_compiles(fn):
     """True when the program compiles AND produces a readable value on
     the active backend (tunnel backends defer execution, so the read is

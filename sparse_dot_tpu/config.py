@@ -64,6 +64,12 @@ class _Config:
         # wins at low density; disable to force the densify/scatter
         # paths.
         self.ell_spmm_enabled = True
+        # Row-BINNED ELL layout (power-of-two width bins with per-bin
+        # segments) under the ELL SpMM path and the solver matvec
+        # loops (CG/CGLS/FGMRES/cg_mrhs).  False pins the single-width
+        # ELL repack / COO solver loops — the kill-switch those
+        # callers read via ``getattr(config, "ell_binned", True)``.
+        self.ell_binned = True
         # Inspector-executor plane cache: containers cache their dense
         # numeric planes + bf16 structural indicator per data buffer so
         # steady-state SpGEMM skips the densify scatters (the dominant

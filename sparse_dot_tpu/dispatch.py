@@ -358,11 +358,18 @@ def _dense_dot_dense(matrix_a, matrix_b, cast=False, scalar=1.0, out=None,
 # ---------------------------------------------------------------------------
 
 
-def _sharded_dot_product(matrix_a, matrix_b):
+def _sharded_dot_product(matrix_a, matrix_b, cast=False, dense=False,
+                         reorder_output=False, out=None, out_scalar=None):
     """Route ``dot_product`` on mesh-sharded operands to the SPMD
     kernels in :mod:`sparse_dot_tpu.parallel` — the multi-chip layer the
     reference never had.  A must be the sharded operand (built by
-    ``shard_csr_rows`` / ``shard_csr_grid`` with a mesh)."""
+    ``shard_csr_rows`` / ``shard_csr_grid`` with a mesh).
+
+    The single-chip keyword contract is honored, not dropped (review r5
+    finding): ``out``/``out_scalar`` accumulate into the caller's buffer
+    on the dense-result paths and follow the reference's out-only-with-
+    dense rule for sparse output; dtype mismatches follow the
+    ``cast=`` contract instead of surfacing as XLA errors."""
     from .parallel import ops as pops
 
     if not isinstance(matrix_a, pops.ShardedCSR):
@@ -378,36 +385,86 @@ def _sharded_dot_product(matrix_a, matrix_b):
         )
 
     if isinstance(matrix_b, pops.ShardedCSR):
+        if dense:
+            raise NotImplementedError(
+                "dense=True is not supported for sharded @ sharded "
+                "products (the output is assembled as sparse CSR)"
+            )
+        if out is not None:
+            raise ValueError(
+                "out argument cannot be used with sparse (dot) sparse "
+                "matrix multiplication unless dense=True"
+            )
+        if np.dtype(matrix_a.dtype) != np.dtype(matrix_b.dtype):
+            if not cast:
+                raise ValueError(
+                    "Matrix dtypes must be identical; set cast=True or "
+                    "build both sharded operands at the same dtype "
+                    f"(got {matrix_a.dtype} and {matrix_b.dtype})"
+                )
+            raise NotImplementedError(
+                "cast=True cannot re-type mesh-sharded operands; build "
+                "the shards at the common dtype (shard_csr_*(A.astype(...)))"
+            )
         if matrix_a.rows.ndim != 3:
             raise ValueError(
                 "sharded @ sharded requires A partitioned with "
                 "shard_csr_grid (row + column blocks)"
             )
-        return pops.sharded_spgemm(mesh, matrix_a, matrix_b,
-                                   axis=matrix_a.axis)
+        res = pops.sharded_spgemm(mesh, matrix_a, matrix_b,
+                                  axis=matrix_a.axis)
+        if reorder_output:
+            res.sort_indices()
+        return res
 
     b = np.asarray(matrix_b)
+    a_dt, b_dt = np.dtype(matrix_a.dtype), np.dtype(b.dtype)
+    if a_dt != b_dt:
+        if not cast:
+            raise ValueError(
+                "Matrix dtypes must be identical; set cast=True to "
+                f"upcast the dense operand (got {a_dt} and {b_dt})"
+            )
+        promoted = np.promote_types(a_dt, b_dt)
+        if promoted != a_dt:
+            raise NotImplementedError(
+                "cast=True would need to upcast the mesh-sharded "
+                f"operand ({a_dt} -> {promoted}); build the shards at "
+                "the promoted dtype instead"
+            )
+        b = b.astype(promoted)
+
     if matrix_a.rows.ndim == 3:
         b2 = b.reshape(-1, 1) if b.ndim == 1 else b
         res = np.asarray(
             pops.sharded_spmm_ring(mesh, matrix_a, b2,
                                    axis=matrix_a.axis)
         )
-        return res.ravel() if b.ndim == 1 else res
-    if getattr(matrix_a, "k_local", None) is not None:
+        res = res.ravel() if b.ndim == 1 else res
+    elif getattr(matrix_a, "k_local", None) is not None:
         # contraction-sharded layout (shard_csr_cols): psum-reduced
         b2 = b.reshape(-1, 1) if b.ndim == 1 else b
         res = np.asarray(
             pops.sharded_spmm_2d(mesh, matrix_a, b2, axis=matrix_a.axis)
         )
-        return res.ravel() if b.ndim == 1 else res
-    if b.ndim == 1:
-        return np.asarray(
+        res = res.ravel() if b.ndim == 1 else res
+    elif b.ndim == 1:
+        res = np.asarray(
             pops.sharded_spmv(mesh, matrix_a, b, axis=matrix_a.axis)
         )
-    return np.asarray(
-        pops.sharded_spmm(mesh, matrix_a, b, axis=matrix_a.axis)
+    else:
+        res = np.asarray(
+            pops.sharded_spmm(mesh, matrix_a, b, axis=matrix_a.axis)
+        )
+
+    if out is None:
+        return res
+    out_validated = policy.out_matrix(
+        res.shape, res.dtype, "C", out_arr=out
     )
+    beta = 1.0 if out_scalar is None else out_scalar
+    out_validated[...] = res + beta * out_validated
+    return out_validated
 
 
 # ---------------------------------------------------------------------------
@@ -438,7 +495,10 @@ def dot_product(matrix_a, matrix_b, cast=False, copy=True,
     from .parallel.ops import ShardedCSR
 
     if isinstance(matrix_a, ShardedCSR) or isinstance(matrix_b, ShardedCSR):
-        return _sharded_dot_product(matrix_a, matrix_b)
+        return _sharded_dot_product(
+            matrix_a, matrix_b, cast=cast, dense=dense,
+            reorder_output=reorder_output, out=out, out_scalar=out_scalar,
+        )
 
     num_sparse = sum((_issparse(matrix_a), _issparse(matrix_b)))
 
@@ -519,8 +579,11 @@ def gram_matrix(matrix, transpose=False, cast=False, dense=False,
             if transpose
             else (matrix.shape[0], matrix.shape[0])
         )
+        # _issparse (not _sps.issparse): device containers take the
+        # sparse empty result like their scipy counterparts (review r5
+        # finding — they used to fall through to dense np.zeros).
         output_func = (
-            _sps.csr_matrix if _sps.issparse(matrix) else np.zeros
+            _sps.csr_matrix if _issparse(matrix) else np.zeros
         )
         return output_func(output_shape, dtype=matrix.dtype)
 

@@ -7,7 +7,7 @@ These are the TPU-native replacements for the MKL symbol families bound in
 * ``mkl_sparse_?_mv``   -> :func:`coo_spmv`            (SpMV)
 * ``mkl_sparse_?_mm``   -> :func:`coo_spmm` / :func:`bsr_spmm`  (SpMM)
 * ``cblas_?gemm``       -> :func:`gemm`                 (dense GEMM, MXU)
-* ``mkl_sparse_spmm``/``spmmd`` -> :func:`spgemm_dense` + host compaction
+* ``mkl_sparse_spmm``/``spmmd`` -> ``ops.host.spgemm_dense`` + host compaction
 * ``mkl_sparse_syrk``/``syrkd``/``cblas_?syrk`` -> :func:`syrk_dense`
 * ``mkl_sparse_convert_csr`` / ``mkl_sparse_order`` ->
   :func:`coo_to_csr_arrays` / :func:`sort_csr`
@@ -77,14 +77,19 @@ def _gemm_jit(a, b, alpha=1.0, beta=0.0, c0=None, precision=None,
     return out
 
 
-def gemm(a, b, alpha=1.0, beta=0.0, c0=None, precision=None):
+def gemm(a, b, alpha=1.0, beta=0.0, c0=None, precision=None,
+         allow_hilo=True):
     """alpha * (a @ b) + beta * c0 on the MXU (cblas_?gemm analog).
-    f64 on TPU routes through the Ozaki bf16-slice matmul."""
+    f64 on TPU routes through the Ozaki bf16-slice matmul.
+    ``allow_hilo=False`` (callers pass a host range check of the
+    operands) pins the exact f64 lowering — the Ozaki split assumes the
+    f32 exponent window (review r5 finding: dense paths must gate like
+    every sparse hi|lo transport)."""
     m, k = a.shape[0], a.shape[1]
     n = b.shape[1] if b.ndim > 1 else 1
     return _gemm_jit(
         a, b, alpha=alpha, beta=beta, c0=c0, precision=precision,
-        use_ozaki=_ozaki.enabled(a.dtype, k, m * k * n),
+        use_ozaki=allow_hilo and _ozaki.enabled(a.dtype, k, m * k * n),
     )
 
 
@@ -107,17 +112,20 @@ def _syrk_dense_jit(a, aat=False, conj=False, alpha=1.0, beta=0.0, c0=None,
 
 
 def syrk_dense(a, aat=False, conj=False, alpha=1.0, beta=0.0, c0=None,
-               precision=None):
+               precision=None, allow_hilo=True):
     """Upper-triangular gram matrix: triu(alpha * op(a) + beta * c0) with
     op(a) = a @ a^H (aat=True) or a^H @ a.  The strict lower triangle is
     beta * c0 (untouched input), matching cblas_?syrk semantics.  f64 on
-    TPU routes through the Ozaki bf16-slice matmul."""
+    TPU routes through the Ozaki bf16-slice matmul unless
+    ``allow_hilo=False`` (host range gate — see :func:`gemm`)."""
     m = a.shape[0] if aat else a.shape[1]
     k = a.shape[1] if aat else a.shape[0]
     return _syrk_dense_jit(
         a, aat=aat, conj=conj, alpha=alpha, beta=beta, c0=c0,
         precision=precision,
-        use_ozaki=not conj and _ozaki.enabled(a.dtype, k, m * k * m),
+        use_ozaki=(
+            allow_hilo and not conj and _ozaki.enabled(a.dtype, k, m * k * m)
+        ),
     )
 
 
@@ -438,16 +446,6 @@ def spmm_densified_sorted(flat, vals, b, m, k, a_cm=False, precision=None,
     return axpby(c, alpha, beta, c0)
 
 
-@partial(jax.jit, static_argnames=("m", "precision"))
-def spmm_densified(rows, cols, vals, b, m, precision=None):
-    """Densify A and multiply on the MXU — the TPU fast path when density
-    (or backend scatter cost) makes gather/scatter lose to free FLOPs."""
-    a_dense = jnp.zeros((m, b.shape[0]), dtype=vals.dtype).at[
-        rows, cols
-    ].add(vals, mode="drop")
-    return jnp.dot(a_dense, b, precision=_prec(vals.dtype, precision))
-
-
 @partial(jax.jit, static_argnames=("m", "use_mxu", "nchunks", "precision",
                                    "use_ozaki"))
 def _spmm_fused(rows, cols, vals, b, m, use_mxu, nchunks=1,
@@ -559,14 +557,6 @@ def _prefer_densify(m, k, n, nnz, dtype):
     if m * k * bytes_per > 4e9:
         return False
     return densify_s < scatter_s
-
-
-@jax.jit
-def _apply_out_scalar(c, alpha, beta, c0):
-    c = c * jnp.asarray(alpha, c.dtype)
-    if c0 is not None:
-        c = c + jnp.asarray(beta, c.dtype) * c0
-    return c
 
 
 # ---------------------------------------------------------------------------
@@ -867,59 +857,6 @@ def sort_csr_indices(indptr_rows, cols, vals, ncols):
     )
     order = jnp.argsort(key)
     return cols[order], vals[order]
-
-
-# ---------------------------------------------------------------------------
-# SpGEMM (sparse x sparse)
-# ---------------------------------------------------------------------------
-
-
-@partial(
-    jax.jit,
-    static_argnames=("m", "k", "n", "use_mxu", "precision", "with_count",
-                     "use_ozaki"),
-)
-def _spgemm_dense_fused(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals,
-                        m, k, n, use_mxu, precision=None,
-                        with_count=False, use_ozaki=False):
-    """One-dispatch SpGEMM numeric phase: densify B, then either densify
-    A + MXU matmul or gather/scatter, optionally returning the output
-    nonzero count in the same program (saves a dispatch round-trip for
-    the sparse-output sizing sync)."""
-    b_dense = jnp.zeros((k, n), dtype=b_vals.dtype).at[
-        b_rows, b_cols
-    ].add(b_vals, mode="drop")
-    if use_mxu:
-        a_dense = jnp.zeros((m, k), dtype=a_vals.dtype).at[
-            a_rows, a_cols
-        ].add(a_vals, mode="drop")
-        if use_ozaki:
-            ah, al = _ozaki.hilo(a_dense)
-            bh, bl = _ozaki.hilo(b_dense)
-            c = _ozaki.matmul_hilo(ah, al, bh, bl)
-        else:
-            c = jnp.dot(a_dense, b_dense,
-                        precision=_prec(a_vals.dtype, precision))
-    else:
-        c = _spmm_scatter_oneshot(a_rows, a_cols, a_vals, b_dense, m)
-    if with_count:
-        return c, jnp.count_nonzero(c)
-    return c
-
-
-def spgemm_dense(a_rows, a_cols, a_vals, b_rows, b_cols, b_vals, m, k, n,
-                 chunk_elements=1 << 24, precision=None, with_count=False):
-    """A @ B with both operands sparse, dense output (spmmd analog)."""
-    nnz_a = int(a_vals.shape[-1])
-    use_mxu = not jnp.iscomplexobj(a_vals) and _prefer_densify(
-        m, k, n, nnz_a, a_vals.dtype
-    )
-    return _spgemm_dense_fused(
-        a_rows, a_cols, a_vals, b_rows, b_cols, b_vals,
-        m=m, k=k, n=n, use_mxu=use_mxu, precision=precision,
-        with_count=with_count,
-        use_ozaki=use_mxu and _ozaki.enabled(a_vals.dtype, k, m * k * n),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1503,26 +1440,6 @@ def spgemm_block_structural_mxu(a_flat, a_vals, b_num, b_ind, row_offset,
     return c, mask, count
 
 
-@partial(jax.jit, static_argnames=("m",))
-def spmm_block_structural(rows, cols, vals, b_dense, b_ind, m):
-    """One row block of the blocked structural SpGEMM: the numeric
-    scatter-SpMM plus the block's structural pattern (indicator of the
-    A block against the precomputed B indicator), one program.
-
-    Returns (c_block, mask_block) of shape (m, n) — callers slice off
-    the pad row.
-    """
-    c = _spmm_scatter_oneshot(rows, cols, vals, b_dense, m)
-    ind_a = jnp.zeros((m, b_ind.shape[0]), jnp.bfloat16).at[
-        rows, cols
-    ].set(1.0, mode="drop")
-    p = lax.dot_general(
-        ind_a, b_ind, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return c, p > 0
-
-
 @partial(jax.jit, static_argnames=("shape", "hilo"))
 def densify_with_indicator(rows, cols, vals, shape, hilo=False):
     """One dispatch for the blocked-SpGEMM B prep: dense numeric
@@ -1537,15 +1454,6 @@ def densify_with_indicator(rows, cols, vals, shape, hilo=False):
     if hilo:
         return _ozaki.hilo(dense) + (ind,)
     return (dense, ind)
-
-
-@partial(jax.jit, static_argnames=("shape",))
-def densify_indicator(rows, cols, shape):
-    """Structural indicator (bf16 ones at stored positions) of an
-    expanded-COO operand."""
-    return jnp.zeros(shape, jnp.bfloat16).at[rows, cols].set(
-        1.0, mode="drop"
-    )
 
 
 @partial(jax.jit, static_argnames=("nnz",))
@@ -1579,16 +1487,6 @@ def extract_sparse_masked(c_dense, mask_flat, nnz):
     return vals, cols, indptr
 
 
-@partial(jax.jit, static_argnames=("nnz",))
-def extract_sparse_masked_checked(c_dense, mask_flat, count, prev_bad,
-                                  nnz):
-    """Masked extraction plus in-program speculation validation (the
-    structural analog of :func:`extract_sparse_checked`)."""
-    vals, cols, indptr = extract_sparse_masked(c_dense, mask_flat, nnz)
-    bad = prev_bad | (count != jnp.asarray(nnz, count.dtype))
-    return vals, cols, indptr, bad
-
-
 @partial(
     jax.jit,
     static_argnames=("m", "k", "n", "a_cm", "b_cm", "syrk", "use_ozaki",
@@ -1614,59 +1512,6 @@ def spgemm_structural_extract(a_flat, a_vals, b_flat, b_vals, prev_bad,
     vals, cols, indptr = extract_sparse_masked(c, mask_flat, nnz)
     bad = prev_bad | (count != jnp.asarray(nnz, count.dtype))
     return vals, cols, indptr, count, bad
-
-
-@partial(jax.jit, static_argnames=("nnz",))
-def extract_sparse_checked(c_dense, count, prev_bad, nnz):
-    """``extract_sparse`` plus in-program speculation validation: merges
-    ``count != nnz`` into the running ``prev_bad`` flag so deferred
-    pipelines carry their own correctness audit with zero extra
-    dispatches."""
-    vals, cols, indptr = _extract_sparse_impl(c_dense, nnz)
-    bad = prev_bad | (count != jnp.asarray(nnz, count.dtype))
-    return vals, cols, indptr, bad
-
-
-@partial(jax.jit, static_argnames=("nnz",))
-def extract_sparse(c_dense, nnz):
-    """Dense -> CSR arrays with exactly ``nnz`` structural nonzeros.
-
-    ``nnz`` must equal the true count (obtained via ``count_nonzero``,
-    or the speculative size cache — see ``ops.host``).  Compaction:
-    MXU-matmul prefix sum over the flattened mask + sorted-unique
-    scatters (hi/lo-split for f64).  Row-major order yields sorted
-    column indices per row.
-    """
-    return _extract_sparse_impl(c_dense, nnz)
-
-
-def _extract_sparse_impl(c_dense, nnz):
-    m, n = c_dense.shape
-    flat = c_dense.reshape(-1)
-    mask = flat != 0
-    # Destination slot for every nonzero; masked-off elements scatter to
-    # index nnz which is dropped.
-    pos = prefix_sum(mask) - 1
-    dest = jnp.where(mask, pos, nnz)
-    vals = sorted_set_scatter(dest, flat, nnz)
-    col_of = (
-        jax.lax.broadcasted_iota(jnp.int32, (m, n), 1).reshape(-1)
-    )
-    cols = jnp.zeros((nnz,), jnp.int32).at[dest].set(
-        col_of, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
-    row_counts = jnp.sum(
-        mask.reshape(m, n).astype(jnp.int32), axis=1
-    )
-    indptr = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_counts).astype(jnp.int32)]
-    )
-    return vals, cols, indptr
-
-
-@jax.jit
-def count_nonzero(c_dense):
-    return jnp.count_nonzero(c_dense)
 
 
 # ---------------------------------------------------------------------------

@@ -529,11 +529,29 @@ def spmv(A, x_np, out_dtype, alpha=1.0, out=None, out_scalar=None,
 # ---------------------------------------------------------------------------
 
 
+def _dense_hilo_ok(arr_np):
+    """Host range check gating the Ozaki hi|lo route for dense f64
+    operands (review r5 finding — every sparse hi|lo transport gates on
+    the f32 window; the dense GEMM/SYRK paths must too)."""
+    a = np.asarray(arr_np)
+    if a.dtype == np.float64:
+        return _hilo_range_ok(a)
+    if np.iscomplexobj(a) and np.real(a).dtype == np.float64:
+        return _hilo_range_ok(a.real) and _hilo_range_ok(a.imag)
+    return True
+
+
 def gemm(a_np, b_np, out_dtype, alpha=1.0, out=None, out_scalar=None):
     beta = 1.0 if out_scalar is None else out_scalar
     a_np, b_np = np.asarray(a_np), np.asarray(b_np)
+    # Same representability warning the sparse paths emit: on X64-pair
+    # backends f64 magnitudes outside the f32 exponent window corrupt
+    # at the device boundary regardless of kernel.
+    formats._warn_f64_range(a_np)
+    formats._warn_f64_range(b_np)
     ar, ai, a_planar = _dense_parts(a_np)
     br, bi, b_planar = _dense_parts(b_np)
+    hilo_ok = _dense_hilo_ok(a_np) and _dense_hilo_ok(b_np)
 
     if not a_planar and not b_planar:
         # alpha/beta/out accumulate fused into the device GEMM program
@@ -543,18 +561,20 @@ def gemm(a_np, b_np, out_dtype, alpha=1.0, out=None, out_scalar=None):
         c0 = jnp.asarray(np.asarray(out)) if out is not None else None
         return np.asarray(
             _xla.gemm(ar, br, alpha=alpha,
-                      beta=beta if c0 is not None else 0.0, c0=c0)
+                      beta=beta if c0 is not None else 0.0, c0=c0,
+                      allow_hilo=hilo_ok)
         ).astype(out_dtype, copy=False)
     else:
-        rr = _xla.gemm(ar, br)
+        rr = _xla.gemm(ar, br, allow_hilo=hilo_ok)
         re, im = rr, None
         if ai is not None and bi is not None:
-            re = rr - _xla.gemm(ai, bi)
-            im = _xla.gemm(ar, bi) + _xla.gemm(ai, br)
+            re = rr - _xla.gemm(ai, bi, allow_hilo=hilo_ok)
+            im = (_xla.gemm(ar, bi, allow_hilo=hilo_ok)
+                  + _xla.gemm(ai, br, allow_hilo=hilo_ok))
         elif ai is not None:
-            im = _xla.gemm(ai, br)
+            im = _xla.gemm(ai, br, allow_hilo=hilo_ok)
         elif bi is not None:
-            im = _xla.gemm(ar, bi)
+            im = _xla.gemm(ar, bi, allow_hilo=hilo_ok)
         re_np = np.asarray(re) * alpha
         im_np = (np.asarray(im) * alpha) if im is not None else np.zeros_like(re_np)
         res = _combine_planar(re_np, im_np, out_dtype)
@@ -1931,12 +1951,30 @@ def spgemm_device(A, B, out_dtype=None, triangular=False,
 def gram_dense_from_dense(a_np, out_dtype, aat=False, out=None,
                           out_scalar=None):
     """triu(op(a)) from a dense operand (cblas_?syrk analog): the strict
-    lower triangle of the result is out_scalar * out (or zero)."""
+    lower triangle of the result is out_scalar * out (or zero).
+
+    Complex input runs the UNCONJUGATED product like the sparse
+    ``allow_complex`` extension; on backends without native complex it
+    decomposes planar (review r5 finding — the raw complex upload used
+    to crash on TPU): re = triu(op(ar) - op(ai)) and, since
+    ``X Yᵀ + Y Xᵀ`` is symmetric, im = triu(M + Mᵀ) from ONE cross
+    GEMM M."""
     beta = 1.0 if out_scalar is None else out_scalar
-    a_dev = jnp.asarray(np.asarray(a_np))
-    res = np.asarray(_xla.syrk_dense(a_dev, aat=aat)).astype(
-        out_dtype, copy=False
-    )
+    a_np = np.asarray(a_np)
+    formats._warn_f64_range(a_np)
+    ar, ai, planar = _dense_parts(a_np)
+    hilo_ok = _dense_hilo_ok(a_np)
+    if ai is None:
+        res = np.asarray(
+            _xla.syrk_dense(ar, aat=aat, allow_hilo=hilo_ok)
+        ).astype(out_dtype, copy=False)
+    else:
+        re = (_xla.syrk_dense(ar, aat=aat, allow_hilo=hilo_ok)
+              - _xla.syrk_dense(ai, aat=aat, allow_hilo=hilo_ok))
+        M = (_xla.gemm(ar, ai.T, allow_hilo=hilo_ok) if aat
+             else _xla.gemm(ar.T, ai, allow_hilo=hilo_ok))
+        im = jnp.triu(M + M.T)
+        res = _combine_planar(np.asarray(re), np.asarray(im), out_dtype)
     if out is not None:
         res = res + np.asarray(beta, dtype=out_dtype) * np.asarray(out)
     return res

@@ -58,8 +58,17 @@ def sypr(matrix_a, matrix_b, transpose=False, cast=False, dense=False):
     dbl, cplx = precision_flags(matrix_a)
     out_dtype = np.dtype(OUTPUT_DTYPES[(dbl, cplx)])
 
-    A = formats.to_device(matrix_a)
-    B = formats.to_device(matrix_b)
+    def _as_csr_device(mat):
+        # BSR operands run through the CSR SpGEMM chain: the device BSR
+        # container has no transpose view, and the product's pattern /
+        # values are identical either way (review r5 finding — BSR A
+        # used to crash on ``A.T``).
+        if formats.is_bsr(mat):
+            mat = (mat if sps.issparse(mat) else mat.to_scipy()).tocsr()
+        return formats.to_device(mat)
+
+    A = _as_csr_device(matrix_a)
+    B = _as_csr_device(matrix_b)
 
     if transpose:
         # A B Aᵀ : (m x k)(k x k)(k x m) -> m x m

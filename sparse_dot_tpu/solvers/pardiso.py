@@ -268,25 +268,35 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
         pt[:] = 0
         return X, pt, perm, 0
 
-    # Symmetric / Hermitian mtypes: MKL reads ONLY the upper triangle
-    # of the supplied matrix and expands it to the full operator
-    # (triangle-stored input is the documented convention; a full
-    # symmetric matrix reconstructs identically).  Without this, a
-    # triangle-stored system solved as if the triangle were the whole
-    # matrix — silently wrong X with error 0 (review r5 finding).
-    if mtype in (2, -2, 4, -4, 6):
-        A_s = A.to_scipy().tocsr() if formats.is_device_sparse(A) else A
-        U = _sps.triu(A_s, format="csr")
-        strict = _sps.triu(A_s, k=1, format="csr")
-        if mtype in (4, -4):  # Hermitian: conjugate the mirrored part
-            A = (U + strict.conj().T).tocsr()
-        else:  # real symmetric / complex symmetric
-            A = (U + strict.T).tocsr()
+    # Solve-only calls (phase 33 — the factor-once / solve-many loop)
+    # read nothing but the stored factor: skip the triangle expansion
+    # and the device upload of A entirely (review r5 finding — every
+    # solve used to pay an O(nnz) host pass plus a full transfer the
+    # solve never consumed).
+    need_A = phase in (11, 12, 13, 22, 23)
+    A_container = None
+    if need_A:
+        # Symmetric / Hermitian mtypes: MKL reads ONLY the upper
+        # triangle of the supplied matrix and expands it to the full
+        # operator (triangle-stored input is the documented convention;
+        # a full symmetric matrix reconstructs identically).  Without
+        # this, a triangle-stored system solved as if the triangle were
+        # the whole matrix — silently wrong X with error 0 (review r5
+        # finding).
+        if mtype in (2, -2, 4, -4, 6):
+            A_s = (A.to_scipy().tocsr()
+                   if formats.is_device_sparse(A) else A)
+            U = _sps.triu(A_s, format="csr")
+            strict = _sps.triu(A_s, k=1, format="csr")
+            if mtype in (4, -4):  # Hermitian: conjugate the mirror
+                A = (U + strict.conj().T).tocsr()
+            else:  # real symmetric / complex symmetric
+                A = (U + strict.T).tocsr()
 
-    try:
-        A_container = formats.to_device(A)
-    except ValueError:
-        return _fail(B, pt, perm, -1, quiet)
+        try:
+            A_container = formats.to_device(A)
+        except ValueError:
+            return _fail(B, pt, perm, -1, quiet)
 
     key = int(pt[0])
     state = _factor_store.get(key)

@@ -173,6 +173,17 @@ class TestSypr:
         ref = DENSE_1 @ B.toarray() @ DENSE_1.T
         np_almost_equal(got, np.triu(ref))
 
+    def test_sypr_bsr_operands(self):
+        """BSR A/B run through the CSR chain (review r5: BSR A crashed
+        on the device container's missing transpose view)."""
+        from sparse_dot_tpu import sypr
+
+        A = self.A.tobsr(blocksize=(2, 2))
+        B = self.B.tobsr(blocksize=(2, 2))
+        got = sypr(A, B)
+        ref = DENSE_1.T @ self.B.toarray() @ DENSE_1
+        np_almost_equal(got.toarray(), np.triu(ref))
+
     def test_sypr_guards(self):
         from sparse_dot_tpu import sypr
 
@@ -258,3 +269,28 @@ class TestGramComplexExtension:
 
         with pytest.raises(ValueError):
             gram_matrix(self.A)
+
+    def test_dense_complex_input(self):
+        """Dense complex operands run the planar unconjugated product
+        too (review r5: the raw complex upload crashed on TPU
+        backends without native complex)."""
+        from sparse_dot_tpu import gram_matrix
+
+        X = np.asarray(self.A.todense())
+        G = gram_matrix(X, allow_complex=True)
+        np_almost_equal(G, np.triu(X.T @ X))
+        G2 = gram_matrix(X, transpose=True, allow_complex=True)
+        np_almost_equal(G2, np.triu(X @ X.T))
+
+
+def test_empty_device_container_returns_sparse():
+    """The empty-output path must keep the sparse result type for
+    device containers, like their scipy counterparts (review r5: they
+    fell through to dense np.zeros)."""
+    from sparse_dot_tpu import gram_matrix
+    from sparse_dot_tpu import formats
+
+    C = formats.to_device(sps.csr_matrix((5, 3), dtype=np.float64))
+    res = gram_matrix(C)
+    assert sps.issparse(res)
+    assert res.nnz == 0

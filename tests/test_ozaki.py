@@ -262,3 +262,36 @@ class TestOzakiRangeEdges(unittest.TestCase):
         with self.assertRaises(ValueError):
             a = jnp.ones((2, 1 << 23), jnp.float32)
             ozaki.matmul_hilo(a, a, a.T, a.T)
+
+
+class TestDenseHiloGate(_ForceOzaki):
+    """Dense GEMM/SYRK must range-gate the Ozaki route like every
+    sparse hi|lo transport (review r5: host.gemm and the dense gram
+    had no gate, silently degrading legal f64 magnitudes outside the
+    f32 window)."""
+
+    def test_gemm_below_window_exact(self):
+        from sparse_dot_tpu import dot_product_mkl
+
+        rng = np.random.default_rng(11)
+        a = rng.standard_normal((32, 48)) * 1e-36
+        b = rng.standard_normal((48, 16)) * 1e-36
+        got = dot_product_mkl(a, b)
+        npt.assert_allclose(got, a @ b, rtol=1e-12)
+
+    def test_gemm_above_window_exact(self):
+        from sparse_dot_tpu import dot_product_mkl
+
+        rng = np.random.default_rng(12)
+        a = rng.standard_normal((32, 48)) * 1e60
+        b = rng.standard_normal((48, 16)) * 1e60
+        got = dot_product_mkl(a, b)
+        npt.assert_allclose(got, a @ b, rtol=1e-12)
+
+    def test_dense_gram_below_window_exact(self):
+        from sparse_dot_tpu import gram_matrix_mkl
+
+        rng = np.random.default_rng(13)
+        a = rng.standard_normal((40, 24)) * 1e-36
+        got = gram_matrix_mkl(a)
+        npt.assert_allclose(got, np.triu(a.T @ a), rtol=1e-12)

@@ -243,6 +243,32 @@ class TestRingSpMM(unittest.TestCase):
         with self.assertRaises(ValueError):
             dot_product(self.B, A_rows)
 
+    def test_dot_product_sharded_kwargs(self):
+        """The single-chip keyword contract holds on the sharded route
+        (review r5: out/out_scalar/cast used to be silently dropped)."""
+        from sparse_dot_tpu import dot_product
+
+        A_rows = shard_csr_rows(self.A, self.n_dev, self.mesh)
+        ref = self.A.toarray() @ self.B
+
+        # out/out_scalar accumulate into the caller's buffer.
+        out = np.full(ref.shape, 2.0, dtype=ref.dtype)
+        got = dot_product(A_rows, self.B, out=out, out_scalar=3.0)
+        self.assertIs(got, out)
+        np_almost_equal(out, ref + 3.0 * 2.0)
+
+        # Shape-mismatched out raises like the single-chip path.
+        bad = np.zeros((ref.shape[0] + 1, ref.shape[1]), dtype=ref.dtype)
+        with self.assertRaises(ValueError):
+            dot_product(A_rows, self.B, out=bad)
+
+        # dtype mismatch follows the cast contract.
+        b32 = self.B.astype(np.float32)
+        with self.assertRaises(ValueError):
+            dot_product(A_rows, b32)
+        np_almost_equal(dot_product(A_rows, b32, cast=True),
+                        self.A.toarray() @ b32.astype(np.float64))
+
 
 class TestShardedSpGEMM(unittest.TestCase):
     """2-D partitioned sparse x sparse: A row+column blocked, sparse B
@@ -279,6 +305,25 @@ class TestShardedSpGEMM(unittest.TestCase):
         B_k = shard_csr_krows(self.B, self.n_dev, self.mesh)
         C = dot_product(A_grid, B_k)
         np_almost_equal(C.toarray(), (self.A @ self.B).toarray())
+
+    def test_sharded_spgemm_kwarg_guards(self):
+        """out= without dense and dense=True follow the reference rules
+        instead of being silently dropped (review r5)."""
+        from sparse_dot_tpu import dot_product
+        from sparse_dot_tpu.parallel import shard_csr_grid, \
+            shard_csr_krows
+
+        A_grid = shard_csr_grid(self.A, self.n_dev, self.mesh)
+        B_k = shard_csr_krows(self.B, self.n_dev, self.mesh)
+        with self.assertRaises(ValueError):
+            dot_product(A_grid, B_k, out=np.zeros(
+                (self.A.shape[0], self.B.shape[1])
+            ))
+        with self.assertRaises(NotImplementedError):
+            dot_product(A_grid, B_k, dense=True)
+        # reorder_output is honored (sorted indices on the result).
+        C = dot_product(A_grid, B_k, reorder_output=True)
+        self.assertTrue(C.has_sorted_indices)
 
     def test_sharded_spgemm_requires_grid(self):
         from sparse_dot_tpu import dot_product

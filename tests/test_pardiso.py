@@ -131,6 +131,36 @@ def test_factor_then_resolve(case):
     npt.assert_array_almost_equal(X, _dense_oracle(case), decimal=3)
 
 
+def test_solve_only_skips_device_upload(case, monkeypatch):
+    """Phase 33 reads nothing but the stored factor: no triangle
+    expansion, no A re-upload (review r5 — every solve in a
+    factor-once/solve-many loop paid an O(nnz) host pass plus a full
+    transfer the solve never consumed)."""
+    import importlib
+
+    _pardiso_mod = importlib.import_module(
+        "sparse_dot_tpu.solvers.pardiso"
+    )
+
+    _, pt, _, err = pardiso(
+        case["A"], case["b"], case["pt"], case["mtype"], case["iparm"], 12
+    )
+    assert err == 0
+
+    def _boom(*a, **k):
+        raise AssertionError("phase 33 must not upload A")
+
+    monkeypatch.setattr(_pardiso_mod.formats, "to_device", _boom)
+    try:
+        X, pt, _, err = pardiso(
+            case["A"], case["b"], pt, case["mtype"], case["iparm"], 33
+        )
+    finally:
+        monkeypatch.undo()
+    assert err == 0
+    npt.assert_array_almost_equal(X, _dense_oracle(case), decimal=3)
+
+
 def test_release_clears_pt(case):
     _, pt, _, _ = pardiso(
         case["A"], case["b"], case["pt"], case["mtype"], case["iparm"], 13
