@@ -560,9 +560,10 @@ def gram_matrix(matrix, transpose=False, cast=False, dense=False,
     ``allow_complex=True`` (an extension — the reference rejects complex
     only to paper over an MKL syrk bug, ``_gram_matrix.py:296-299``;
     this framework's planar path has no such bug) computes the
-    UNCONJUGATED product AᵀA / AAᵀ for complex sparse input with sparse
-    upper-triangular output, matching ``dot_product(A.T, A)``'s values
-    on the upper triangle.
+    UNCONJUGATED product AᵀA / AAᵀ for complex input — sparse (sparse
+    upper-triangular output) or dense (dense upper-triangular output,
+    planar-decomposed on complex-less backends) — matching
+    ``dot_product(A.T, A)``'s values on the upper triangle.
     """
     _deprecated_debug(debug)
     print_backend_debug()

@@ -510,11 +510,14 @@ class CSR(SparseDeviceMatrix):
             ).astype(np.int64)
             flat_size = int(row_off[-1])
             pad_ratio = flat_size / max(self.nnz, 1)
-            if (
-                flat_size == 0
-                or pad_ratio > max_pad_ratio
-                or flat_size >= (1 << 31)
-            ):
+            if flat_size == 0 or flat_size >= (1 << 31):
+                # Threshold-independent rejection (empty / i32
+                # overflow): record inf so NO caller's max_pad_ratio
+                # re-admits it — keying on pad_ratio alone re-ran the
+                # O(m log m) layout build on every call (review r5).
+                self._ell_binned_cache = (None,) * 5 + (np.inf,)
+                return None
+            if pad_ratio > max_pad_ratio:
                 self._ell_binned_cache = (None,) * 5 + (pad_ratio,)
                 return None
             # equal-width chunks -> segments (sorted order makes them

@@ -132,6 +132,18 @@ def _check_mesh_axis(mesh, axis, n_shards):
         )
 
 
+def _check_contraction(A, b_rows, what="b"):
+    """JAX clamps out-of-bounds gather indices under jit, so a dense
+    operand whose row count mismatches A's contraction dim would give
+    silently WRONG numbers, never an error (review r5 finding) —
+    validate up front like ``sharded_spmv_halo`` always did."""
+    if int(b_rows) != int(A.shape[1]):
+        raise ValueError(
+            f"Bad shapes for sharded multiply: A is {A.shape} but "
+            f"{what} has {int(b_rows)} rows (need {A.shape[1]})"
+        )
+
+
 def shard_csr_rows(matrix, n_shards, mesh=None, axis="rows"):
     """scipy CSR (or convertible) -> ShardedCSR with device placement.
 
@@ -212,6 +224,7 @@ def sharded_spmm(mesh, A, b, axis="rows"):
     host.  Returns the full (padded rows trimmed) array.
     """
     _check_mesh_axis(mesh, axis, A.n_shards)
+    _check_contraction(A, np.shape(b)[0])
     m_local = A.m_local
 
     if getattr(A, "planar", False) or np.iscomplexobj(np.asarray(b)):
@@ -265,6 +278,7 @@ def sharded_spmm(mesh, A, b, axis="rows"):
 
 def sharded_spmv(mesh, A, x, axis="rows"):
     _check_mesh_axis(mesh, axis, A.n_shards)
+    _check_contraction(A, np.shape(x)[0], what="x")
     m_local = A.m_local
 
     if getattr(A, "planar", False) or np.iscomplexobj(np.asarray(x)):
@@ -445,6 +459,7 @@ def sharded_spmm_2d(mesh, A_colsharded, b, axis="cols"):
     """C = A @ b with the contraction axis sharded: device s computes
     A[:, s-block] @ b[s-block, :] and partials are psum-reduced."""
     _check_mesh_axis(mesh, axis, A_colsharded.n_shards)
+    _check_contraction(A_colsharded, np.shape(b)[0])
     m = A_colsharded.shape[0]
     k_local = A_colsharded.k_local
 
@@ -554,6 +569,7 @@ def sharded_spmm_ring(mesh, A_grid, b, axis="rows", _inspect=False):
     each step's transfer can overlap the next step's compute.  No
     operand is ever replicated."""
     _check_mesh_axis(mesh, axis, A_grid.n_shards)
+    _check_contraction(A_grid, np.shape(b)[0])
     S = A_grid.n_shards
     m_local = A_grid.m_local
     k_local = A_grid.k_local
@@ -734,6 +750,7 @@ def sharded_spgemm(mesh, A_grid, B_krows, axis="rows"):
     Returns scipy CSR of the full product (row panels concatenated).
     """
     _check_mesh_axis(mesh, axis, A_grid.n_shards)
+    _check_contraction(A_grid, B_krows.shape[0], what="B")
     import scipy.sparse as sps
 
     S = A_grid.n_shards

@@ -907,8 +907,12 @@ def cg_mrhs(A, B, X0=None, tol=1e-05, maxiter=DEFAULT_MAX_ITER, M=None,
 
 
 def _coo_of_container(Ac):
-    """(rows, cols, vals) expanded COO of a CSR device container."""
-    return Ac.row_indices(), Ac.indices, Ac.data
+    """(rows, cols, vals) expanded COO of a CSR/CSC/BSR device
+    container (review r5: the CSR-only form crashed on device CSC/BSR
+    operands the guards admit)."""
+    from ..ops.host import coo_parts
+
+    return coo_parts(Ac)[:3]
 
 
 def fgmres(A, b, x0=None, tol=1e-05, restart=None, maxiter=DEFAULT_MAX_ITER,

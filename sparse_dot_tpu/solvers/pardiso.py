@@ -320,20 +320,34 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
     if do_factor and _needs_iterative(A_container, n):
         # Beyond the dense-LU budget the O(n^2) factorization cannot
         # materialize on one chip; fall back to a matrix-free Krylov
-        # solve (CG for the symmetric mtypes, FGMRES otherwise) at
-        # phase 33 — the matrix itself is the "factorization".  MKL
-        # would OOC-spill here (iparm[59]); warning once keeps the
-        # divergence visible.
+        # solve at phase 33 — the matrix itself is the
+        # "factorization".  MKL would OOC-spill here (iparm[59]);
+        # warning once keeps the divergence visible.  The Krylov
+        # route is real-only: fail complex HERE instead of promising
+        # a solve the solve phase rejects (review r5 finding).
+        if np.dtype(A_container.dtype).kind == "c":
+            warnings.warn(
+                f"sparse_dot_tpu pardiso: n={n} exceeds the dense-LU "
+                "budget and the matrix-free fallback supports real "
+                "mtypes only; raise config.pardiso_dense_budget_bytes "
+                "or use the iterative solvers directly",
+                RuntimeWarning,
+            )
+            return _fail(B, pt, perm, -1, quiet)
         warnings.warn(
             f"sparse_dot_tpu pardiso: n={n} exceeds the dense-LU "
             "budget; phases 22/33 will run a matrix-free Krylov solve "
-            "(CG for symmetric mtype, FGMRES otherwise) instead of a "
+            "(CG for the SPD mtype 2, FGMRES otherwise) instead of a "
             "direct factorization",
             RuntimeWarning,
         )
         state["iterative"] = True
         state["container"] = A_container
-        state["mtype_sym"] = mtype in (2, -2)
+        # CG requires positive definiteness: only mtype 2 (real
+        # symmetric POSITIVE DEFINITE) qualifies; -2 (indefinite) runs
+        # FGMRES like the unsymmetric mtypes (review r5 finding — CG
+        # stalls on saddle-point systems MKL factors via LDL^T).
+        state["mtype_sym"] = mtype == 2
         state["dtype"] = A_container.dtype
         state["embedded"] = False
         state["lu"] = None
@@ -361,12 +375,24 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
         else:
             lu, piv = _lu_factor(a_dense)
             state["a_dense"] = None
-        if bool(jnp.any(jnp.isnan(lu))):
+        # Zero U-pivots mean an exactly singular system: LU of e.g.
+        # diag(1, 0) is fully FINITE, so an isnan check alone returned
+        # inf/NaN X with error 0 where MKL reports -4/-7 (review r5
+        # finding).  One fused device read covers both.
+        bad = jnp.any(~jnp.isfinite(lu)) | jnp.any(
+            jnp.diagonal(lu) == 0
+        )
+        if bool(bad):
             return _fail(B, pt, perm, -4, quiet)
         state["lu"] = (lu, piv)
         state["mixed"] = mixed
         state["embedded"] = embedded
         state["dtype"] = A_container.dtype
+        # A prior over-budget factorization on this pt left the Krylov
+        # route armed; a successful direct factor must disarm it or
+        # phase 33 solves against the STALE container (review r5).
+        state["iterative"] = False
+        state.pop("container", None)
         # Post-factorization reports (MKL fills these after phase 22
         # when <0 on entry): the backing factor is a dense LU, so nnz
         # in factors is n_eff^2 and the flop count is (2/3) n_eff^3,
@@ -451,33 +477,77 @@ def pardiso(A, B, pt, mtype, iparm, phase=13, maxfct=1, mnum=1, perm=None,
 
         b_np = np.asarray(B)
         b_2d = b_np.reshape(-1, 1) if b_np.ndim == 1 else b_np
+        # Branch on the FACTOR's complexity, not B's (review r5
+        # finding: a complex B over a real factor used to be cast to
+        # real before the solve on mixed-precision backends, and a
+        # native-complex factor with a real-dtyped B took the real
+        # path — wrong conjugation under iparm[11] and Im(X) dropped).
+        factor_complex = (
+            state["embedded"] or np.dtype(lu.dtype).kind == "c"
+        )
         if state["embedded"]:
             # Transpose solves through the real 2n embedding E(A) =
             # [[Re,-Im],[Im,Re]]: E(A)^T = E(A^H), so the conjugate
             # transpose (tmode 1) is a plain trans=1 solve, and the
             # non-conjugate transpose (tmode 2) uses
             # A^T x = b  <=>  A^H conj(x) = conj(b).
-            b_eff = b_2d.conj() if tmode == 2 else b_2d
+            # Match the embedding's real width (c64 factors are f32):
+            # the cast only matters for a REAL-dtyped B, which has no
+            # imaginary part to lose.
+            ctype = (
+                np.complex64
+                if (not mixed and lu.dtype == jnp.float32)
+                else np.complex128
+            )
+            b_c = b_2d.astype(ctype, copy=False)
+            b_eff = b_c.conj() if tmode == 2 else b_c
             e_trans = 1 if tmode in (1, 2) else 0
             b_stack = np.concatenate([b_eff.real, b_eff.imag], axis=0)
             x_stack = np.asarray(_solve(jnp.asarray(b_stack), e_trans))
             x = x_stack[:n] + 1j * x_stack[n:]
             if tmode == 2:
                 x = x.conj()
-            x = x.astype(b_np.dtype)
-        elif np.iscomplexobj(b_np) and _backend.supports_native_complex():
+        elif factor_complex:
             # scipy trans codes: 1 = A^T, 2 = A^H (iparm[11] is the
             # reverse: 1 = conjugate transpose, 2 = transpose).
             c_trans = {0: 0, 1: 2, 2: 1}[tmode]
-            x = np.asarray(_solve(jnp.asarray(b_2d), c_trans))
+            x = np.asarray(
+                _solve(jnp.asarray(b_2d.astype(lu.dtype)), c_trans)
+            )
+        elif np.iscomplexobj(b_np):
+            # Real factor, complex B: solve the parts separately
+            # (trans 1/2 coincide on a real operator).
+            r_trans = 1 if tmode in (1, 2) else 0
+            target = np.float64 if mixed else lu.dtype
+            xr = np.asarray(_solve(jnp.asarray(
+                np.ascontiguousarray(b_2d.real).astype(target)
+            ), r_trans))
+            xi = np.asarray(_solve(jnp.asarray(
+                np.ascontiguousarray(b_2d.imag).astype(target)
+            ), r_trans))
+            x = xr + 1j * xi
         else:
             r_trans = 1 if tmode in (1, 2) else 0
             target = jnp.float64 if mixed else lu.dtype
             x = np.asarray(
                 _solve(jnp.asarray(b_2d.astype(target)), r_trans)
             )
-        x = x.reshape(b_np.shape).astype(b_np.dtype, copy=False)
-        X[...] = x
+        x = x.reshape(b_np.shape)
+        if np.iscomplexobj(x) and not np.iscomplexobj(b_np):
+            # X carries B's dtype (reference contract: the caller's
+            # buffer): a complex solution over a real-dtyped B cannot
+            # be represented — warn instead of discarding silently.
+            scale = max(float(np.abs(x).max()), 1e-300)
+            if float(np.abs(x.imag).max()) > 1e-9 * scale:
+                warnings.warn(
+                    "sparse_dot_tpu pardiso: complex-factor solve "
+                    "with a real-dtyped B produced a solution with a "
+                    "nonzero imaginary part, which B's dtype cannot "
+                    "represent; pass a complex B to receive it",
+                    RuntimeWarning,
+                )
+            x = np.ascontiguousarray(x.real)
+        X[...] = x.astype(b_np.dtype, copy=False)
         # iparm[6] output report: refinement steps performed.
         if iparm is not None and len(iparm) > 6:
             iparm[6] = refine_steps

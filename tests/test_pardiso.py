@@ -455,3 +455,133 @@ def test_export_factorization_iterative_route_raises_cleanly():
             export_factorization(pt)
     finally:
         _cfg.pardiso_dense_budget_bytes = old
+
+
+# -- review-r5 solve-path and fallback semantics ---------------------------
+
+
+def test_complex_rhs_over_real_factor():
+    """Real A (mtype 11) with a complex B: the solve must split the
+    parts, not cast B to real (review r5 — Im(B) was dropped on every
+    backend where the pre-solve astype ran)."""
+    rng = np.random.default_rng(50)
+    A = _A.astype(np.float64)
+    b = _B[:, 0] + 1j * rng.random(_B.shape[0])
+    pt, iparm = pardisoinit(11)
+    X, _, _, err = pardiso(A, b, pt, 11, iparm, 13)
+    assert err == 0
+    assert np.iscomplexobj(X)
+    npt.assert_array_almost_equal(
+        X, np.linalg.solve(A.toarray(), b), decimal=6
+    )
+
+
+def test_complex_factor_real_rhs_warns_on_lost_imag():
+    """Complex A with a real-dtyped B: X is complex but B's dtype
+    cannot carry it — the solve must warn, not silently drop Im(X)."""
+    n = 20
+    M = sps.random(n, n, density=0.3, random_state=51, format="csr")
+    A = (M + 1j * sps.random(n, n, density=0.3, random_state=52)
+         + n * sps.identity(n)).tocsr().astype(np.complex128)
+    b = np.random.default_rng(53).random(n)  # real dtype
+    pt, iparm = pardisoinit(13)
+    with pytest.warns(RuntimeWarning, match="imaginary part"):
+        X, _, _, err = pardiso(A, b, pt, 13, iparm, 13)
+    assert err == 0
+    npt.assert_array_almost_equal(
+        X, np.linalg.solve(A.toarray(), b).real, decimal=6
+    )
+
+
+def test_singular_matrix_reports_error():
+    """LU of an exactly singular matrix is FINITE with a zero pivot;
+    the factor phase must report -4 like MKL, not solve to inf/NaN
+    with error 0 (review r5)."""
+    A = sps.csr_matrix(np.diag([1.0, 0.0, 2.0]))
+    b = np.ones(3)
+    pt, iparm = pardisoinit(11)
+    X, _, _, err = pardiso(A, b, pt, 11, iparm, 13, quiet=True)
+    assert err == -4
+    assert not X.any()
+
+
+def test_indefinite_mtype_krylov_uses_fgmres():
+    """mtype -2 (symmetric INDEFINITE) beyond the dense budget must
+    not run CG (unsound for indefinite operators); the FGMRES route
+    solves a saddle-point system CG stalls on (review r5)."""
+    from sparse_dot_tpu.config import config as _cfg
+
+    rng = np.random.default_rng(54)
+    n = 60
+    M = sps.random(n, n, density=0.15, random_state=54, format="csr")
+    S = (M + M.T).tocsr()
+    # shift to make it clearly indefinite but well conditioned
+    A = (S + sps.diags(np.where(np.arange(n) % 2 == 0, 8.0, -8.0))
+         ).tocsr()
+    b = rng.random(n)
+    old = _cfg.pardiso_dense_budget_bytes
+    _cfg.pardiso_dense_budget_bytes = 1 << 10
+    try:
+        pt, iparm = pardisoinit(-2)
+        with pytest.warns(RuntimeWarning, match="matrix-free"):
+            X, _, _, err = pardiso(A, b, pt, -2, iparm, 13)
+        assert err == 0
+        npt.assert_array_almost_equal(
+            X, np.linalg.solve(A.toarray(), b), decimal=5
+        )
+    finally:
+        _cfg.pardiso_dense_budget_bytes = old
+
+
+def test_complex_over_budget_fails_at_factor():
+    """The Krylov fallback is real-only: a complex system beyond the
+    budget must fail AT FACTOR TIME with a clear warning instead of
+    promising a solve phase 33 then rejects (review r5)."""
+    from sparse_dot_tpu.config import config as _cfg
+
+    n = 40
+    M = sps.random(n, n, density=0.2, random_state=55, format="csr")
+    A = (M + 1j * M + n * sps.identity(n)).tocsr().astype(np.complex128)
+    b = np.ones(n, np.complex128)
+    old = _cfg.pardiso_dense_budget_bytes
+    _cfg.pardiso_dense_budget_bytes = 1 << 8
+    try:
+        pt, iparm = pardisoinit(13)
+        with pytest.warns(RuntimeWarning, match="real mtypes only"):
+            X, _, _, err = pardiso(A, b, pt, 13, iparm, 13, quiet=True)
+        assert err == -1
+    finally:
+        _cfg.pardiso_dense_budget_bytes = old
+
+
+def test_refactor_after_budget_raise_disarms_krylov():
+    """Factor over-budget (Krylov armed), raise the budget, refactor
+    on the SAME pt: the direct LU must disarm the stale iterative
+    route or phase 33 solves against the old container (review r5)."""
+    from sparse_dot_tpu.config import config as _cfg
+
+    rng = np.random.default_rng(56)
+    n = 50
+    M = sps.random(n, n, density=0.2, random_state=56, format="csr")
+    A1 = (M @ M.T + n * sps.identity(n)).tocsr()
+    A2 = (A1 * 3.0).tocsr()  # different matrix, same structure
+    b = rng.random(n)
+    old = _cfg.pardiso_dense_budget_bytes
+    try:
+        _cfg.pardiso_dense_budget_bytes = 1 << 10
+        pt, iparm = pardisoinit(2)
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            _, pt, _, err = pardiso(A1, b, pt, 2, iparm, 12)
+        assert err == 0
+        _cfg.pardiso_dense_budget_bytes = old
+        _, pt, _, err = pardiso(A2, b, pt, 2, iparm, 22)
+        assert err == 0
+        X, _, _, err = pardiso(A2, b, pt, 2, iparm, 33)
+        assert err == 0
+        npt.assert_array_almost_equal(
+            X, np.linalg.solve(A2.toarray(), b), decimal=6
+        )
+    finally:
+        _cfg.pardiso_dense_budget_bytes = old
